@@ -1,0 +1,73 @@
+"""Deterministic synthetic sparse-coding data via jax PRNG (SURVEY.md R5/N5).
+
+Replaces the reference's numpy/scipy generation (SURVEY.md §3.1 "Data" row):
+  * Gaussian dictionary A ~ N(0, 1), column-normalized.
+  * Sparse codes x*: Bernoulli(support) x Gaussian(values).
+  * Sparse corruption e*: Bernoulli x Gaussian (impulse noise).
+  * Observations b = A x* + e*   (the l1/l1 benchmark has B = I, z = e).
+
+All generation is functional off a jax PRNG key, so data is reproducible
+across hosts/devices and can be generated directly on device inside a
+jitted step (no host->device copies in the training hot loop).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+
+class SyntheticBatch(NamedTuple):
+    b: Array  # (S, m) observations
+    x_star: Array  # (S, n) ground-truth sparse code
+    e_star: Array  # (S, m) ground-truth sparse corruption
+
+
+def make_dictionary(key: jax.Array, m: int, n: int, dtype=jnp.float32) -> Array:
+    """Gaussian dictionary with unit-norm columns (SURVEY.md §5.1)."""
+    A = jax.random.normal(key, (m, n), dtype)
+    return A / jnp.linalg.norm(A, axis=0, keepdims=True)
+
+
+def _bernoulli_gaussian(
+    key: jax.Array, shape, sparsity: float, dtype
+) -> Array:
+    """support ~ Bernoulli(sparsity), values ~ N(0, 1)."""
+    ks, kv = jax.random.split(key)
+    support = jax.random.bernoulli(ks, sparsity, shape)
+    vals = jax.random.normal(kv, shape, dtype)
+    return jnp.where(support, vals, 0.0).astype(dtype)
+
+
+def make_batch(
+    key: jax.Array,
+    A: Array,
+    batch: int,
+    sparsity_x: float = 0.1,
+    sparsity_e: float = 0.1,
+    dtype=jnp.float32,
+) -> SyntheticBatch:
+    """One batch of (b, x*, e*) with b = A x* + e*. Jit-safe."""
+    m, n = A.shape
+    kx, ke = jax.random.split(key)
+    x_star = _bernoulli_gaussian(kx, (batch, n), sparsity_x, dtype)
+    e_star = _bernoulli_gaussian(ke, (batch, m), sparsity_e, dtype)
+    b = x_star @ A.T + e_star
+    return SyntheticBatch(b=b, x_star=x_star, e_star=e_star)
+
+
+def batch_stream(
+    key: jax.Array,
+    A: Array,
+    batch: int,
+    sparsity_x: float = 0.1,
+    sparsity_e: float = 0.1,
+    dtype=jnp.float32,
+) -> Iterator[SyntheticBatch]:
+    """Infinite deterministic stream of training batches."""
+    while True:
+        key, sub = jax.random.split(key)
+        yield make_batch(sub, A, batch, sparsity_x, sparsity_e, dtype)

@@ -1,0 +1,49 @@
+"""Evaluation metrics (SURVEY.md R6/N10).
+
+  * NMSE(dB) = 10 log10( E_s[ ||x_hat_s - x*_s||^2 / ||x*_s||^2 ] ),
+    the paper's signature per-layer curve metric (SURVEY.md §2 point 7).
+  * Relative constraint residual ||A x + B z - b|| / ||b|| (north-star
+    metric, BASELINE.json:2).
+  * PSNR for the image-denoising benchmark.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+_EPS = 1e-12
+
+
+def nmse_db(x_hat: Array, x_star: Array) -> Array:
+    """Batch-mean normalized MSE in dB. Inputs (S, n)."""
+    num = jnp.sum((x_hat - x_star) ** 2, axis=-1)
+    den = jnp.sum(x_star**2, axis=-1)
+    return 10.0 * jnp.log10(jnp.mean(num / jnp.maximum(den, _EPS)) + _EPS)
+
+
+def per_layer_nmse_db(traj_x: Array, x_star: Array) -> Array:
+    """NMSE(dB) at every layer: traj_x (K, S, n) -> (K,). This is the
+    NMSE-vs-layer curve compared against the LADMM baseline
+    (SURVEY.md §5.3)."""
+    return jax.vmap(nmse_db, in_axes=(0, None))(traj_x, x_star)
+
+
+def constraint_residual(
+    A: Array, b: Array, x: Array, z: Array, B: Optional[Array] = None
+) -> Array:
+    """Batch-mean relative residual ||A x + B z - b||_2 / ||b||_2."""
+    Bz = z if B is None else z @ B.T
+    r = x @ A.T + Bz - b
+    num = jnp.linalg.norm(r, axis=-1)
+    den = jnp.maximum(jnp.linalg.norm(b, axis=-1), _EPS)
+    return jnp.mean(num / den)
+
+
+def psnr(x: Array, ref: Array, data_range: float = 1.0) -> Array:
+    """Peak signal-to-noise ratio in dB over the full array."""
+    mse = jnp.mean((x - ref) ** 2)
+    return 10.0 * jnp.log10(data_range**2 / jnp.maximum(mse, _EPS))

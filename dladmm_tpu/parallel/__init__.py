@@ -1,0 +1,6 @@
+from dladmm_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    batch_sharding,
+    replicated,
+    param_shardings_tp,
+)

@@ -1,0 +1,78 @@
+"""CLI entry: ``python -m dladmm_tpu.run --config=synthetic_small``.
+
+Equivalent of the reference's experiment scripts (SURVEY.md R2/R7, N11):
+trains the configured D-LADMM net and prints the NMSE-vs-layer table
+against the classical LADMM baseline.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--config", default="synthetic_small")
+    ap.add_argument("--steps", type=int, default=None)
+    ap.add_argument("--batch", type=int, default=None)
+    ap.add_argument("--lr", type=float, default=None)
+    ap.add_argument("--seed", type=int, default=None)
+    ap.add_argument("--kernel", choices=["reference", "pallas"], default=None)
+    ap.add_argument("--layer-loss", choices=["uniform"], default=None)
+    ap.add_argument(
+        "--log-jsonl", default=None, help="append per-eval scalar records here"
+    )
+    args = ap.parse_args(argv)
+
+    from dladmm_tpu.utils.config import get_config
+
+    cfg = get_config(args.config)
+    overrides = {}
+    for f in ("steps", "batch", "lr", "seed", "kernel"):
+        v = getattr(args, f)
+        if v is not None:
+            overrides[f] = v
+    if args.layer_loss is not None:
+        overrides["layer_loss"] = args.layer_loss
+    if overrides:
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, **overrides)
+        )
+
+    from dladmm_tpu.utils.logging import JsonlLogger
+    from dladmm_tpu.train.loop import fit
+
+    logger = JsonlLogger(args.log_jsonl)
+    step_fn = None
+    if cfg.train.kernel == "pallas":
+        from dladmm_tpu.ops.pallas_layer import fused_layer_step
+
+        step_fn = fused_layer_step
+
+    params, history = fit(cfg, log_fn=logger, step_fn=step_fn)
+
+    last = history[-1]
+    curves = last["curves"]
+    print(f"\nconfig={cfg.name}  steps={cfg.train.steps}")
+    print(f"{'layer':>5} {'D-LADMM NMSE(dB)':>18} {'LADMM NMSE(dB)':>16}")
+    for k, (a, b) in enumerate(
+        zip(curves["nmse_curve_db"], curves["ladmm_curve_db"]), 1
+    ):
+        print(f"{k:>5} {float(a):>18.2f} {float(b):>16.2f}")
+    print(
+        json.dumps(
+            {
+                "final_nmse_db": last["nmse_db"],
+                "final_residual": last["residual"],
+                "ladmm_nmse_db_at_K": float(curves["ladmm_curve_db"][-1]),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

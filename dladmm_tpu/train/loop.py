@@ -1,0 +1,237 @@
+"""jit+optax training loop (SURVEY.md R2/N4).
+
+Replaces the reference's DataLoader + torch.optim epoch loop (SURVEY.md
+§3.1 "Training loop" row, §5.1): the entire per-batch body — on-device
+synthetic data generation, K-layer scan forward, loss, backprop through the
+unroll, and the Adam update — is ONE jit-compiled step with donated
+params/opt-state, so the host only feeds a PRNG key per step.
+
+Loss (SURVEY.md §2 point 6): supervised regression to ground truth,
+final-layer MSE by default, optional deep supervision
+sum_k gamma_k (||x_k - x*||^2 + ||z_k - e*||^2).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax import Array
+
+from dladmm_tpu.baselines.ladmm import ladmm_run
+from dladmm_tpu.data.synthetic import make_batch
+from dladmm_tpu.metrics.core import (
+    constraint_residual,
+    nmse_db,
+    per_layer_nmse_db,
+)
+from dladmm_tpu.models.unroll import DLADMMParams, dladmm_forward
+from dladmm_tpu.ops.reference import LayerParams
+
+
+class TrainState(NamedTuple):
+    params: DLADMMParams
+    opt_state: Any
+    step: Array
+
+
+def loss_fn(
+    params: DLADMMParams,
+    A: Array,
+    b: Array,
+    x_star: Array,
+    z_star: Array,
+    B: Optional[Array] = None,
+    layer_weights: Optional[Array] = None,
+    step_fn=None,
+) -> Array:
+    """MSE to ground truth; final layer only, or gamma-weighted per layer."""
+    if layer_weights is None:
+        x, z, _ = dladmm_forward(params, A, b, B=B, step_fn=step_fn)
+        return jnp.mean((x - x_star) ** 2) + jnp.mean((z - z_star) ** 2)
+    _, (tx, tz, _) = dladmm_forward(
+        params, A, b, B=B, capture_trajectory=True, step_fn=step_fn
+    )
+    per_layer = jnp.mean((tx - x_star) ** 2, axis=(1, 2)) + jnp.mean(
+        (tz - z_star) ** 2, axis=(1, 2)
+    )
+    return jnp.sum(layer_weights * per_layer)
+
+
+def make_train_step(
+    optimizer: optax.GradientTransformation,
+    A: Array,
+    batch: int,
+    sparsity_x: float = 0.1,
+    sparsity_e: float = 0.1,
+    B: Optional[Array] = None,
+    layer_weights: Optional[Array] = None,
+    step_fn=None,
+) -> Callable[[TrainState, jax.Array], tuple]:
+    """Build the fully fused train step: key -> data -> grad -> update.
+
+    The returned function is jitted with donated state, so params and
+    optimizer state are updated in place on device.
+    """
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, key: jax.Array):
+        data = make_batch(key, A, batch, sparsity_x, sparsity_e, A.dtype)
+        loss, grads = jax.value_and_grad(loss_fn)(
+            state.params,
+            A,
+            data.b,
+            data.x_star,
+            data.e_star,
+            B,
+            layer_weights,
+            step_fn,
+        )
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    return train_step
+
+
+def make_train_step_from_batch(
+    optimizer: optax.GradientTransformation,
+    A: Array,
+    B: Optional[Array] = None,
+    layer_weights: Optional[Array] = None,
+    step_fn=None,
+    donate: bool = True,
+) -> Callable[[TrainState, Any], tuple]:
+    """Train step fed an explicit SyntheticBatch (for sharded/multi-host
+    runs where the batch is built host-locally and device_put with a
+    'data'-axis sharding — SURVEY.md §5.5)."""
+
+    def _step(state: TrainState, data):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            state.params,
+            A,
+            data.b,
+            data.x_star,
+            data.e_star,
+            B,
+            layer_weights,
+            step_fn,
+        )
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    return jax.jit(_step, donate_argnums=(0,) if donate else ())
+
+
+@functools.partial(jax.jit, static_argnames=("ladmm_iters", "step_fn"))
+def _eval_jit(params, A, b, x_star, z_star, B, ladmm_iters, step_fn):
+    (x, z, _), (tx, tz, _) = dladmm_forward(
+        params, A, b, B=B, capture_trajectory=True, step_fn=step_fn
+    )
+    curve = per_layer_nmse_db(tx, x_star)
+    (_, _, _), (lx, _, _) = ladmm_run(
+        A, b, B=B, iters=ladmm_iters, capture_trajectory=True
+    )
+    ladmm_curve = per_layer_nmse_db(lx, x_star)
+    return {
+        "nmse_db": nmse_db(x, x_star),
+        "nmse_db_z": nmse_db(z, z_star),
+        "residual": constraint_residual(A, b, x, z, B),
+        "nmse_curve_db": curve,
+        "ladmm_curve_db": ladmm_curve,
+    }
+
+
+def evaluate(
+    params: DLADMMParams,
+    A: Array,
+    data,
+    B: Optional[Array] = None,
+    ladmm_iters: Optional[int] = None,
+    step_fn=None,
+):
+    """NMSE(dB)/residual at the final layer + NMSE-vs-layer curves for the
+    learned net and the classical LADMM baseline (SURVEY.md §5.3)."""
+    K = params.W1.shape[0]
+    out = _eval_jit(
+        params,
+        A,
+        data.b,
+        data.x_star,
+        data.e_star,
+        B,
+        ladmm_iters or K,
+        step_fn,
+    )
+    return jax.tree.map(lambda v: jax.device_get(v), out)
+
+
+def fit(
+    config,
+    A: Optional[Array] = None,
+    log_fn=None,
+    step_fn=None,
+):
+    """Train a D-LADMM net per config; returns (params, history).
+
+    Equivalent of the reference synthetic experiment script's main
+    (SURVEY.md §5.1) — one call trains and periodically evaluates.
+    """
+    from dladmm_tpu.models.unroll import init_dladmm_params
+
+    p, t = config.problem, config.train
+    key = jax.random.PRNGKey(t.seed)
+    k_dict, k_eval, k_train = jax.random.split(key, 3)
+    dtype = jnp.dtype(t.dtype)
+    if A is None:
+        from dladmm_tpu.data.synthetic import make_dictionary
+
+        A = make_dictionary(k_dict, p.m, p.n, dtype)
+    B = None  # identity_B benchmark path; general B via explicit arg
+
+    params = init_dladmm_params(A, B, K=p.K, beta=p.beta, dtype=dtype)
+    optimizer = optax.adam(t.lr)
+    state = TrainState(params, optimizer.init(params), jnp.zeros((), jnp.int32))
+
+    layer_weights = None
+    if t.layer_loss == "uniform":
+        layer_weights = jnp.full((p.K,), 1.0 / p.K, dtype)
+
+    train_step = make_train_step(
+        optimizer,
+        A,
+        t.batch,
+        p.sparsity_x,
+        p.sparsity_e,
+        B,
+        layer_weights,
+        step_fn,
+    )
+    eval_data = make_batch(
+        k_eval, A, t.eval_batch, p.sparsity_x, p.sparsity_e, dtype
+    )
+
+    history = []
+    for i in range(t.steps):
+        k_train, sub = jax.random.split(k_train)
+        state, loss = train_step(state, sub)
+        if (i + 1) % t.eval_every == 0 or i + 1 == t.steps:
+            ev = evaluate(state.params, A, eval_data, B, step_fn=step_fn)
+            rec = {
+                "step": i + 1,
+                "loss": float(loss),
+                "nmse_db": float(ev["nmse_db"]),
+                "residual": float(ev["residual"]),
+            }
+            history.append({**rec, "curves": ev})
+            if log_fn:
+                log_fn(rec)
+    return state.params, history

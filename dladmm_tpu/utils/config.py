@@ -1,0 +1,93 @@
+"""Typed configs + presets, one per BASELINE.json config entry (SURVEY.md N11).
+
+Replaces the reference's in-file constants / argparse flags (SURVEY.md §7
+"Config / flag system" row). Every benchmark shape from BASELINE.json:6-12
+has a named preset; CLI overrides are applied in run.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class ProblemConfig:
+    m: int = 250
+    n: int = 500
+    K: int = 15  # unroll depth / layer count
+    beta: float = 1.0
+    sparsity_x: float = 0.1
+    sparsity_e: float = 0.1
+    identity_B: bool = True  # benchmark fast path B = I (SURVEY.md §2 point 4)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    batch: int = 64
+    steps: int = 2000
+    lr: float = 2e-4
+    eval_every: int = 200
+    eval_batch: int = 256
+    seed: int = 0
+    # Per-layer loss weighting: None = final-layer MSE only; "uniform" =
+    # deep supervision with equal weights (SURVEY.md §2 point 6).
+    layer_loss: Optional[str] = None
+    kernel: str = "reference"  # {reference|pallas} (SURVEY.md §9.1)
+    dtype: str = "float32"
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardingConfig:
+    data_axis: int = 1  # DP degree (1 = off)
+    model_axis: int = 1  # TP degree (1 = off)
+    multihost: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    name: str
+    problem: ProblemConfig
+    train: TrainConfig
+    sharding: ShardingConfig = ShardingConfig()
+
+
+PRESETS = {
+    # BASELINE.json:7 — CPU-runnable PR1 reference config.
+    "synthetic_small": Config(
+        name="synthetic_small",
+        problem=ProblemConfig(m=250, n=500, K=15),
+        train=TrainConfig(batch=64),
+    ),
+    # BASELINE.json:8 — single-chip MXU saturation case.
+    "synthetic_large": Config(
+        name="synthetic_large",
+        problem=ProblemConfig(m=1000, n=2000, K=20),
+        train=TrainConfig(batch=1024, kernel="pallas"),
+    ),
+    # BASELINE.json:10 — TP block-partitioned dictionary.
+    "tp_large": Config(
+        name="tp_large",
+        problem=ProblemConfig(m=8192, n=16384, K=20),
+        train=TrainConfig(batch=256),
+        sharding=ShardingConfig(model_axis=4),
+    ),
+    # BASELINE.json:11 — multi-host scenario-batched training.
+    "multihost": Config(
+        name="multihost",
+        problem=ProblemConfig(m=1000, n=2000, K=20),
+        train=TrainConfig(batch=65536),
+        sharding=ShardingConfig(data_axis=8, multihost=True),
+    ),
+}
+
+
+def get_config(name: str, **overrides) -> Config:
+    if name not in PRESETS:
+        raise KeyError(
+            f"unknown config {name!r}; available: {sorted(PRESETS)}"
+        )
+    cfg = PRESETS[name]
+    if overrides:
+        cfg = dataclasses.replace(cfg, **overrides)
+    return cfg

@@ -1,0 +1,70 @@
+"""Convergence/parity integration test (SURVEY.md §6.2-3), CPU-runnable:
+
+Train a scaled-down synthetic config for a short fixed-seed budget and
+assert (a) the loss decreases, (b) trained NMSE at layer K beats both the
+untrained (= classical LADMM) net and the LADMM curve at equal iteration
+count. A short-budget proxy of the BASELINE.json:7 config keeps CI fast;
+the full config runs via ``python -m dladmm_tpu.run``.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from dladmm_tpu.utils.config import Config, ProblemConfig, TrainConfig, get_config
+
+
+@pytest.fixture(scope="module")
+def trained():
+    cfg = Config(
+        name="ci_small",
+        problem=ProblemConfig(m=50, n=100, K=10),
+        train=TrainConfig(batch=32, steps=1000, lr=3e-3, eval_every=250,
+                          eval_batch=128, seed=0),
+    )
+    from dladmm_tpu.train.loop import fit
+
+    params, history = fit(cfg)
+    return cfg, params, history
+
+
+def test_eval_nmse_improves_over_training(trained):
+    _, _, history = trained
+    # Per-batch loss is noisy; the held-out eval NMSE is the stable signal.
+    assert history[-1]["nmse_db"] < history[0]["nmse_db"]
+
+
+def test_beats_ladmm_at_equal_depth(trained):
+    _, _, history = trained
+    curves = history[-1]["curves"]
+    dladmm_final = float(curves["nmse_curve_db"][-1])
+    ladmm_final = float(curves["ladmm_curve_db"][-1])
+    # The trained unroll must beat classical LADMM at equal layer count
+    # (the paper's core claim, SURVEY.md §2 point 7 / §8).
+    assert dladmm_final < ladmm_final - 1.0, (dladmm_final, ladmm_final)
+
+
+def test_nmse_improves_with_depth(trained):
+    _, _, history = trained
+    curve = np.asarray(history[-1]["curves"]["nmse_curve_db"])
+    assert curve[-1] < curve[0]
+
+
+def test_deep_supervision_runs():
+    cfg = Config(
+        name="ci_deep",
+        problem=ProblemConfig(m=30, n=60, K=6),
+        train=TrainConfig(batch=16, steps=20, lr=1e-3, eval_every=20,
+                          eval_batch=32, seed=1, layer_loss="uniform"),
+    )
+    from dladmm_tpu.train.loop import fit
+
+    _, history = trained_ok = fit(cfg)
+    assert np.isfinite(history[-1]["loss"])
+
+
+def test_presets_exist():
+    for name in ("synthetic_small", "synthetic_large", "tp_large", "multihost"):
+        cfg = get_config(name)
+        assert cfg.problem.K >= 15
