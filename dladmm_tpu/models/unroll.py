@@ -20,7 +20,14 @@ import jax
 import jax.numpy as jnp
 from jax import Array
 
-from dladmm_tpu.ops.reference import LayerParams, dladmm_layer_step, init_state
+from dladmm_tpu.ops.reference import (
+    LayerParams,
+    apply_B,
+    apply_dict,
+    dladmm_layer_step,
+    dladmm_layer_step_cached,
+    init_state,
+)
 
 StepFn = Callable[..., tuple]
 
@@ -97,6 +104,17 @@ def init_dladmm_params(
     )
 
 
+def as_cached_step(plain_step) -> StepFn:
+    """Adapt a plain step (A,B,b,x,z,lam,p)->(x,z,lam) to the cached
+    interface by recomputing the matvec carries (test/compat shim)."""
+
+    def step(A, B, b, x, z, lam, Ax, Bz, p):
+        x1, z1, lam1 = plain_step(A, B, b, x, z, lam, p)
+        return x1, z1, lam1, apply_dict(x1, A), apply_B(z1, B)
+
+    return step
+
+
 @functools.partial(
     jax.jit, static_argnames=("capture_trajectory", "step_fn", "unroll")
 )
@@ -123,8 +141,11 @@ def dladmm_forward(
       capture_trajectory: if True, additionally return the per-layer
         (x_k, z_k, lam_k) stacked as (K, S, ·) — scan's ys — used for deep
         supervision and NMSE-vs-layer curves (SURVEY.md §5.3).
-      step_fn: layer step implementation; defaults to the pure-JAX golden
-        op. The fused Pallas kernel is swapped in here
+      step_fn: layer step implementation with the *cached* signature
+        ``step(A, B, b, x, z, lam, Ax, Bz, p) -> (x1, z1, lam1, Ax1, Bz1)``
+        (the scan carries A x_k / B z_k so each layer does ONE A-matvec,
+        not two — mathematically identical, ~33% fewer FLOPs). Defaults to
+        the pure-JAX golden op; the fused Pallas kernel is swapped in here
         (kernel={reference|pallas} config switch, SURVEY.md §9.1).
       unroll: scan unroll factor (XLA loop unrolling of the layer body).
 
@@ -132,21 +153,28 @@ def dladmm_forward(
       (x_K, z_K, lam_K) and, if capture_trajectory, the (K, S, ·) stacks.
     """
     if step_fn is None:
-        step_fn = dladmm_layer_step
+        step_fn = dladmm_layer_step_cached
     n = params.W1.shape[1]
     d = params.W2.shape[1]
     x = jnp.zeros((b.shape[0], n), b.dtype) if x0 is None else x0
     z = jnp.zeros((b.shape[0], d), b.dtype) if z0 is None else z0
     lam = jnp.zeros_like(b) if lam0 is None else lam0
+    # Matvec carries; for the default zero init they are zeros for free.
+    Ax = jnp.zeros_like(lam) if x0 is None else apply_dict(x, A)
+    Bz = (
+        (z if B is None else jnp.zeros_like(lam))
+        if z0 is None
+        else apply_B(z, B)
+    )
 
     def body(carry, p: LayerParams):
-        x, z, lam = carry
-        x, z, lam = step_fn(A, B, b, x, z, lam, p)
+        x, z, lam, Ax, Bz = carry
+        x, z, lam, Ax, Bz = step_fn(A, B, b, x, z, lam, Ax, Bz, p)
         ys = (x, z, lam) if capture_trajectory else None
-        return (x, z, lam), ys
+        return (x, z, lam, Ax, Bz), ys
 
-    (x, z, lam), traj = jax.lax.scan(
-        body, (x, z, lam), LayerParams(*params), unroll=unroll
+    (x, z, lam, _, _), traj = jax.lax.scan(
+        body, (x, z, lam, Ax, Bz), LayerParams(*params), unroll=unroll
     )
     if capture_trajectory:
         return (x, z, lam), traj

@@ -48,9 +48,16 @@ def main(argv=None) -> int:
     logger = JsonlLogger(args.log_jsonl)
     step_fn = None
     if cfg.train.kernel == "pallas":
-        from dladmm_tpu.ops.pallas_layer import fused_layer_step
+        from dladmm_tpu.ops.pallas_layer import auto_fused_step
 
-        step_fn = fused_layer_step
+        p = cfg.problem
+        step_fn = auto_fused_step(p.m, p.n, p.m)
+        if step_fn is None:
+            print(
+                f"note: weights for m={p.m}, n={p.n} exceed the resident-"
+                "VMEM kernel budget; using the reference step",
+                flush=True,
+            )
 
     params, history = fit(cfg, log_fn=logger, step_fn=step_fn)
 

@@ -1,0 +1,171 @@
+"""Image-denoising benchmark CLI (SURVEY.md §5.4, R7 equivalent).
+
+``python -m dladmm_tpu.run_denoise [--quick]``
+
+Pipeline (reference call stack §5.4, fixture-free per §9.5):
+  1. Overcomplete 2-D DCT patch dictionary A (64 x 256) — stands in for
+     the reference's learned .mat dictionary (caveat noted in BASELINE.md).
+  2. Corrupt test images with salt & pepper impulse noise; extract
+     overlapping patches; subtract robust (median) per-patch DC.
+  3. Train the D-LADMM net end-to-end ON PATCH DATA: b = corrupted patch
+     residual, supervised by ||A x_K - clean residual||^2 + ||e_K -
+     impulse noise||^2 (the l1/l1 model: Ax + e = b).
+  4. Reconstruct A x-hat + DC, overlap-average, report PSNR vs the
+     corrupted input's PSNR.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import sys
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def _make_patch_batch(key, images, density, patch, stride):
+    """Corrupt + patchify one epoch of training data (host-side prep,
+    device compute)."""
+    from dladmm_tpu.data.images import extract_patches, patch_dc, salt_pepper
+
+    ks = jax.random.split(key, len(images))
+    bs, tgt_res, tgt_noise = [], [], []
+    for k, img in zip(ks, images):
+        noisy = salt_pepper(k, img, density)
+        p_noisy = extract_patches(noisy, patch, stride)
+        p_clean = extract_patches(img, patch, stride)
+        dc = patch_dc(p_noisy)
+        bs.append(p_noisy - dc)
+        tgt_res.append(p_clean - dc)
+        tgt_noise.append(p_noisy - p_clean)
+    return (
+        jnp.concatenate(bs),
+        jnp.concatenate(tgt_res),
+        jnp.concatenate(tgt_noise),
+    )
+
+
+def train_denoiser(
+    A,
+    images,
+    *,
+    K=15,
+    steps=400,
+    lr=1e-3,
+    density=0.1,
+    patch=8,
+    stride=4,
+    seed=0,
+    log_every=100,
+):
+    """Train D-LADMM on patch data; returns trained params."""
+    from dladmm_tpu.models.unroll import dladmm_forward, init_dladmm_params
+
+    params = init_dladmm_params(A, K=K, beta=1.0)
+    optimizer = optax.adam(lr)
+    opt_state = optimizer.init(params)
+
+    @jax.jit
+    def train_step(params, opt_state, b, tgt_res, tgt_noise):
+        def loss_fn(params):
+            x, e, _ = dladmm_forward(params, A, b)
+            recon = x @ A.T
+            return jnp.mean((recon - tgt_res) ** 2) + jnp.mean(
+                (e - tgt_noise) ** 2
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    key = jax.random.PRNGKey(seed)
+    for i in range(steps):
+        key, sub = jax.random.split(key)
+        b, tr, tn = _make_patch_batch(sub, images, density, patch, stride)
+        params, opt_state, loss = train_step(params, opt_state, b, tr, tn)
+        if log_every and (i + 1) % log_every == 0:
+            print(f"step {i+1} loss {float(loss):.5f}", file=sys.stderr)
+    return params
+
+
+def denoise_image(params, A, noisy, *, patch=8, stride=4):
+    """Denoise one image with a trained net; returns the reconstruction."""
+    from dladmm_tpu.data.images import (
+        extract_patches,
+        patch_dc,
+        reconstruct_from_patches,
+    )
+    from dladmm_tpu.models.unroll import dladmm_forward
+
+    p_noisy = extract_patches(noisy, patch, stride)
+    dc = patch_dc(p_noisy)
+    x, e, _ = dladmm_forward(params, A, p_noisy - dc)
+    clean_patches = x @ A.T + dc
+    out = reconstruct_from_patches(
+        clean_patches, noisy.shape[0], patch, stride
+    )
+    return jnp.clip(out, 0.0, 1.0)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--quick", action="store_true", help="tiny run for CI")
+    ap.add_argument("--density", type=float, default=0.1)
+    ap.add_argument("--layers", type=int, default=15)
+    ap.add_argument("--steps", type=int, default=400)
+    ap.add_argument("--images", type=int, default=4)
+    ap.add_argument("--size", type=int, default=128)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+    if args.quick:
+        args.steps, args.images, args.size, args.layers = 60, 2, 64, 8
+
+    from dladmm_tpu.data.dictionary import dct_dictionary
+    from dladmm_tpu.data.images import salt_pepper, synthetic_image
+    from dladmm_tpu.metrics.core import psnr
+
+    A = dct_dictionary(patch=8, atoms_per_dim=16)
+    key = jax.random.PRNGKey(args.seed)
+    k_train, k_test = jax.random.split(key)
+
+    train_imgs = [
+        synthetic_image(k, args.size)
+        for k in jax.random.split(k_train, args.images)
+    ]
+    params = train_denoiser(
+        A,
+        train_imgs,
+        K=args.layers,
+        steps=args.steps,
+        density=args.density,
+    )
+
+    results = []
+    for i, k in enumerate(jax.random.split(k_test, 3)):
+        kimg, knoise = jax.random.split(k)
+        clean = synthetic_image(kimg, args.size)
+        noisy = salt_pepper(knoise, clean, args.density)
+        recon = denoise_image(params, A, noisy)
+        results.append(
+            {
+                "image": i,
+                "psnr_noisy_db": round(float(psnr(noisy, clean)), 2),
+                "psnr_denoised_db": round(float(psnr(recon, clean)), 2),
+            }
+        )
+        print(
+            f"image {i}: noisy {results[-1]['psnr_noisy_db']} dB -> "
+            f"denoised {results[-1]['psnr_denoised_db']} dB"
+        )
+    mean_gain = sum(
+        r["psnr_denoised_db"] - r["psnr_noisy_db"] for r in results
+    ) / len(results)
+    print(json.dumps({"results": results, "mean_psnr_gain_db": round(mean_gain, 2)}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
