@@ -1,0 +1,56 @@
+"""Kernel/forward selection policy (the kernel={...} config switch,
+SURVEY.md §9.1).
+
+Measured on TPU v5e (see BASELINE.md):
+  * whole-unroll megakernel  — fastest whenever one layer's weights
+    (double-buffered) + full batch state fit VMEM (covers both reference
+    benchmark shapes); state never leaves VMEM across all K layers.
+  * per-layer fused kernel   — next, when weights fit VMEM residently.
+  * XLA scan over the golden op (default bf16 MXU precision) — large
+    shapes (flagship weights exceed VMEM; XLA's per-matmul streaming
+    wins there until the streamed-weight kernel lands).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+
+from dladmm_tpu.models.unroll import dladmm_forward
+from dladmm_tpu.ops.pallas_layer import auto_fused_step, weights_fit_vmem
+from dladmm_tpu.ops.pallas_unroll import make_unrolled_forward, unroll_fits_vmem
+
+ForwardFn = Callable  # (params, A, b) -> (x, z, lam)
+
+
+def select_forward(
+    m: int,
+    n: int,
+    d: int,
+    S: int,
+    kernel: str = "auto",
+    need_trajectory: bool = False,
+    identity_B: bool = True,
+) -> Tuple[Optional[ForwardFn], Optional[Callable], str]:
+    """Returns (forward_fn, step_fn, description).
+
+    forward_fn replaces the whole unroll (megakernel); step_fn plugs into
+    dladmm_forward's scan. At most one is non-None; (None, None) means
+    the pure-XLA reference path.
+    """
+    if kernel == "reference" or not identity_B:
+        return None, None, "xla-scan-reference"
+    if need_trajectory:
+        # Trajectory capture requires the scan's stacked ys.
+        step = auto_fused_step(m, n, d)
+        if kernel in ("auto", "pallas") and step is not None:
+            return None, step, "scan+fused-layer-kernel"
+        return None, None, "xla-scan-reference"
+    if kernel in ("auto", "pallas", "megakernel"):
+        if unroll_fits_vmem(m, n, d, S):
+            return make_unrolled_forward(), None, "whole-unroll-megakernel"
+        step = auto_fused_step(m, n, d)
+        if step is not None:
+            return None, step, "scan+fused-layer-kernel"
+    return None, None, "xla-scan-reference"

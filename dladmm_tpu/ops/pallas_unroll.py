@@ -1,0 +1,186 @@
+"""Whole-unroll Pallas megakernel (SURVEY.md N3 taken to its conclusion).
+
+One pallas_call executes ALL K layers: grid=(K,), the solver state
+(x, z, lam, Ax) lives in VMEM output blocks for the ENTIRE unroll (their
+index_maps are constant, so Mosaic never writes them back between grid
+steps), and layer k's weights arrive via k-indexed BlockSpecs — which the
+Mosaic pipeliner double-buffers, so layer k+1's W1/W2/thresholds stream
+from HBM while layer k computes. Total HBM traffic for a K-layer forward:
+state once + each layer's weights once — the literal one-HBM-pass bound.
+
+Eligibility: one layer's weights (double-buffered) + the full batch state
+must fit VMEM (~16 MB) — true for the reference benchmark shapes
+(250x500: ~4 MB weights db + ~0.7 MB state at batch 64). The per-layer
+kernel (ops/pallas_layer.py) and the XLA scan path cover bigger shapes.
+
+Backward: custom_vjp that rematerializes through the pure-JAX scan
+(identical math), so training gradients are exact.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dladmm_tpu.models.unroll import DLADMMParams
+
+_VMEM_BUDGET_BYTES = 14 * 1024 * 1024
+
+
+def _unroll_kernel(
+    # inputs
+    b_ref,
+    a_mat_ref,
+    w1_ref,  # (1, n, m) — layer k's block
+    w2_ref,  # (1, d, m)
+    th1_ref,  # (1, 1, n)
+    th2_ref,  # (1, 1, d)
+    beta_ref,  # (K, 1) SMEM, whole
+    # outputs (constant index_map -> VMEM-resident across all K steps)
+    x_ref,
+    z_ref,
+    lam_ref,
+    ax_ref,
+    *,
+    matmul_dtype,
+):
+    k = pl.program_id(0)
+
+    @pl.when(k == 0)
+    def _init():
+        x_ref[:] = jnp.zeros_like(x_ref)
+        z_ref[:] = jnp.zeros_like(z_ref)
+        lam_ref[:] = jnp.zeros_like(lam_ref)
+        ax_ref[:] = jnp.zeros_like(ax_ref)
+
+    def dot_t(a, w):
+        if matmul_dtype is not None:
+            a = a.astype(matmul_dtype)
+            w = w.astype(matmul_dtype)
+        return jax.lax.dot_general(
+            a, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    beta = jnp.maximum(beta_ref[k, 0], 1e-6)
+    z = z_ref[:]
+    lam = lam_ref[:]
+    b = b_ref[:]
+    base = z - b + lam * (1.0 / beta)
+    u = ax_ref[:] + base
+    th1 = jnp.maximum(th1_ref[0], 0.0)
+    p1 = x_ref[:] - dot_t(u, w1_ref[0])
+    x1 = jnp.sign(p1) * jnp.maximum(jnp.abs(p1) - th1, 0.0)
+    ax1 = dot_t(x1, a_mat_ref[:])
+    v = ax1 + base
+    th2 = jnp.maximum(th2_ref[0], 0.0)
+    p2 = z - dot_t(v, w2_ref[0])
+    z1 = jnp.sign(p2) * jnp.maximum(jnp.abs(p2) - th2, 0.0)
+    x_ref[:] = x1
+    z_ref[:] = z1
+    lam_ref[:] = lam + beta * (ax1 + z1 - b)
+    ax_ref[:] = ax1
+
+
+def unroll_fits_vmem(
+    m: int, n: int, d: int, S: int, matmul_dtype=None
+) -> bool:
+    """One layer's weights (double-buffered by the pipeliner) + full state
+    + dictionary must fit the VMEM budget."""
+    layer_w = (n * m + d * m) * 4  # stacked params stay fp32 in HBM/VMEM
+    a_bytes = m * n * 4
+    state = S * (n + 3 * m + max(n, d)) * 4  # x,z,lam,Ax + temps
+    return 2 * layer_w + a_bytes + state <= _VMEM_BUDGET_BYTES
+
+
+def _unrolled_forward_pallas(
+    params: DLADMMParams,
+    A: Array,
+    b: Array,
+    *,
+    matmul_dtype,
+    interpret: bool,
+):
+    K, n, m = params.W1.shape
+    d = params.W2.shape[1]
+    S = b.shape[0]
+    th1 = jnp.broadcast_to(
+        params.theta1.reshape(K, 1, -1).astype(b.dtype), (K, 1, n)
+    )
+    th2 = jnp.broadcast_to(
+        params.theta2.reshape(K, 1, -1).astype(b.dtype), (K, 1, d)
+    )
+    beta = params.beta.reshape(K, 1).astype(b.dtype)
+
+    whole = lambda shape: pl.BlockSpec(
+        shape, lambda k: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    per_layer = lambda *dims: pl.BlockSpec(
+        (1,) + dims, lambda k: (k,) + (0,) * len(dims), memory_space=pltpu.VMEM
+    )
+
+    x, z, lam, _ = pl.pallas_call(
+        functools.partial(_unroll_kernel, matmul_dtype=matmul_dtype),
+        grid=(K,),
+        in_specs=[
+            whole((S, m)),  # b
+            whole((m, n)),  # A
+            per_layer(n, m),  # W1
+            per_layer(d, m),  # W2
+            per_layer(1, n),  # th1
+            per_layer(1, d),  # th2
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # beta (K, 1)
+        ],
+        out_specs=[whole((S, n)), whole((S, d)), whole((S, m)), whole((S, m))],
+        out_shape=[
+            jax.ShapeDtypeStruct((S, n), b.dtype),
+            jax.ShapeDtypeStruct((S, d), b.dtype),
+            jax.ShapeDtypeStruct((S, m), b.dtype),
+            jax.ShapeDtypeStruct((S, m), b.dtype),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * S * m * (2 * n + d) * K,
+            bytes_accessed=K * (n * m + d * m) * 4
+            + (m * n + S * (2 * n + 2 * d + 3 * m)) * 4,
+            transcendentals=0,
+        ),
+    )(b, A, params.W1, params.W2, th1, th2, beta)
+    return x, z, lam
+
+
+def make_unrolled_forward(matmul_dtype=None, interpret: Optional[bool] = None):
+    """Returns forward(params, A, b) -> (x_K, z_K, lam_K) running the
+    whole-unroll megakernel, with exact gradients via a rematerialized
+    pure-JAX backward (custom_vjp). B = I only; no trajectory capture —
+    use models.unroll.dladmm_forward for those cases.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    def _ref_forward(params, A, b):
+        from dladmm_tpu.models.unroll import dladmm_forward
+
+        return dladmm_forward(params, A, b)
+
+    @jax.custom_vjp
+    def forward(params, A, b):
+        return _unrolled_forward_pallas(
+            params, A, b, matmul_dtype=matmul_dtype, interpret=interpret
+        )
+
+    def fwd(params, A, b):
+        return forward(params, A, b), (params, A, b)
+
+    def bwd(res, cts):
+        params, A, b = res
+        _, vjp = jax.vjp(_ref_forward, params, A, b)
+        return vjp(cts)
+
+    forward.defvjp(fwd, bwd)
+    return forward

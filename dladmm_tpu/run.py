@@ -20,7 +20,11 @@ def main(argv=None) -> int:
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--lr", type=float, default=None)
     ap.add_argument("--seed", type=int, default=None)
-    ap.add_argument("--kernel", choices=["reference", "pallas"], default=None)
+    ap.add_argument(
+        "--kernel",
+        choices=["auto", "megakernel", "pallas", "reference"],
+        default=None,
+    )
     ap.add_argument("--layer-loss", choices=["uniform"], default=None)
     ap.add_argument(
         "--log-jsonl", default=None, help="append per-eval scalar records here"
@@ -46,20 +50,22 @@ def main(argv=None) -> int:
     from dladmm_tpu.train.loop import fit
 
     logger = JsonlLogger(args.log_jsonl)
-    step_fn = None
-    if cfg.train.kernel == "pallas":
-        from dladmm_tpu.ops.pallas_layer import auto_fused_step
+    from dladmm_tpu.models.api import select_forward
 
-        p = cfg.problem
-        step_fn = auto_fused_step(p.m, p.n, p.m)
-        if step_fn is None:
-            print(
-                f"note: weights for m={p.m}, n={p.n} exceed the resident-"
-                "VMEM kernel budget; using the reference step",
-                flush=True,
-            )
+    p = cfg.problem
+    forward_fn, step_fn, desc = select_forward(
+        p.m,
+        p.n,
+        p.m,
+        cfg.train.batch,
+        kernel=cfg.train.kernel,
+        need_trajectory=cfg.train.layer_loss is not None,
+    )
+    print(f"kernel path: {desc}", flush=True)
 
-    params, history = fit(cfg, log_fn=logger, step_fn=step_fn)
+    params, history = fit(
+        cfg, log_fn=logger, step_fn=step_fn, forward_fn=forward_fn
+    )
 
     last = history[-1]
     curves = last["curves"]

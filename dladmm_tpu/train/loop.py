@@ -47,10 +47,19 @@ def loss_fn(
     B: Optional[Array] = None,
     layer_weights: Optional[Array] = None,
     step_fn=None,
+    forward_fn=None,
 ) -> Array:
-    """MSE to ground truth; final layer only, or gamma-weighted per layer."""
+    """MSE to ground truth; final layer only, or gamma-weighted per layer.
+
+    forward_fn (e.g. the whole-unroll megakernel from models.api) replaces
+    the scan entirely for the final-layer loss; deep supervision needs the
+    scan's stacked trajectory and ignores it.
+    """
     if layer_weights is None:
-        x, z, _ = dladmm_forward(params, A, b, B=B, step_fn=step_fn)
+        if forward_fn is not None:
+            x, z, _ = forward_fn(params, A, b)
+        else:
+            x, z, _ = dladmm_forward(params, A, b, B=B, step_fn=step_fn)
         return jnp.mean((x - x_star) ** 2) + jnp.mean((z - z_star) ** 2)
     _, (tx, tz, _) = dladmm_forward(
         params, A, b, B=B, capture_trajectory=True, step_fn=step_fn
@@ -70,6 +79,7 @@ def make_train_step(
     B: Optional[Array] = None,
     layer_weights: Optional[Array] = None,
     step_fn=None,
+    forward_fn=None,
 ) -> Callable[[TrainState, jax.Array], tuple]:
     """Build the fully fused train step: key -> data -> grad -> update.
 
@@ -89,6 +99,7 @@ def make_train_step(
             B,
             layer_weights,
             step_fn,
+            forward_fn,
         )
         updates, opt_state = optimizer.update(
             grads, state.opt_state, state.params
@@ -105,6 +116,7 @@ def make_train_step_from_batch(
     B: Optional[Array] = None,
     layer_weights: Optional[Array] = None,
     step_fn=None,
+    forward_fn=None,
     donate: bool = True,
 ) -> Callable[[TrainState, Any], tuple]:
     """Train step fed an explicit SyntheticBatch (for sharded/multi-host
@@ -121,6 +133,7 @@ def make_train_step_from_batch(
             B,
             layer_weights,
             step_fn,
+            forward_fn,
         )
         updates, opt_state = optimizer.update(
             grads, state.opt_state, state.params
@@ -179,6 +192,7 @@ def fit(
     A: Optional[Array] = None,
     log_fn=None,
     step_fn=None,
+    forward_fn=None,
 ):
     """Train a D-LADMM net per config; returns (params, history).
 
@@ -214,6 +228,7 @@ def fit(
         B,
         layer_weights,
         step_fn,
+        forward_fn,
     )
     eval_data = make_batch(
         k_eval, A, t.eval_batch, p.sparsity_x, p.sparsity_e, dtype

@@ -1,0 +1,73 @@
+"""Checkpoint / resume (SURVEY.md §7 row 4).
+
+The reference keeps weights only for the script's lifetime; here training
+state (params + optimizer state + step) is checkpointed with
+orbax-checkpoint, multi-host-safe (orbax coordinates a single writer per
+shard). A plain-numpy fallback writer covers environments without orbax.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+try:
+    import orbax.checkpoint as ocp
+
+    _HAS_ORBAX = True
+except Exception:  # pragma: no cover
+    _HAS_ORBAX = False
+
+
+def save_checkpoint(path: str, state: Any, step: Optional[int] = None) -> str:
+    """Write a checkpoint; returns the concrete directory written."""
+    path = os.path.abspath(path)
+    if _HAS_ORBAX:
+        ckpt = ocp.StandardCheckpointer()
+        target = os.path.join(path, f"step_{step}") if step is not None else path
+        ckpt.save(target, state, force=True)
+        ckpt.wait_until_finished()
+        return target
+    # Fallback: flat .npz of leaves (single-host only).
+    leaves, treedef = jax.tree.flatten(state)
+    target = (
+        os.path.join(path, f"step_{step}.npz") if step is not None else path + ".npz"
+    )
+    os.makedirs(os.path.dirname(target), exist_ok=True)
+    np.savez(target, *[np.asarray(l) for l in leaves])
+    return target
+
+
+def restore_checkpoint(path: str, template: Any) -> Any:
+    """Restore into the structure/shapes/dtypes of ``template``."""
+    if _HAS_ORBAX and os.path.isdir(path):
+        ckpt = ocp.StandardCheckpointer()
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), template
+        )
+        return ckpt.restore(path, abstract)
+    data = np.load(path)
+    leaves, treedef = jax.tree.flatten(template)
+    restored = [
+        jax.numpy.asarray(data[f"arr_{i}"]) for i in range(len(leaves))
+    ]
+    return jax.tree.unflatten(treedef, restored)
+
+
+def latest_step_dir(path: str) -> Optional[str]:
+    """Most recent step_N checkpoint under ``path`` (resume helper)."""
+    if not os.path.isdir(path):
+        return None
+    steps = []
+    for name in os.listdir(path):
+        if name.startswith("step_"):
+            try:
+                steps.append((int(name.split("_")[1].split(".")[0]), name))
+            except ValueError:
+                continue
+    if not steps:
+        return None
+    return os.path.join(path, max(steps)[1])

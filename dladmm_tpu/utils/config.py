@@ -33,7 +33,8 @@ class TrainConfig:
     # Per-layer loss weighting: None = final-layer MSE only; "uniform" =
     # deep supervision with equal weights (SURVEY.md §2 point 6).
     layer_loss: Optional[str] = None
-    kernel: str = "reference"  # {reference|pallas} (SURVEY.md §9.1)
+    # {auto|megakernel|pallas|reference} (SURVEY.md §9.1; models/api.py)
+    kernel: str = "auto"
     dtype: str = "float32"
 
 
@@ -63,7 +64,7 @@ PRESETS = {
     "synthetic_large": Config(
         name="synthetic_large",
         problem=ProblemConfig(m=1000, n=2000, K=20),
-        train=TrainConfig(batch=1024, kernel="pallas"),
+        train=TrainConfig(batch=1024),
     ),
     # BASELINE.json:10 — TP block-partitioned dictionary.
     "tp_large": Config(

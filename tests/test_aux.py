@@ -1,0 +1,84 @@
+"""Aux subsystem tests (SURVEY.md §7): checkpoint round-trip + resume
+helper, multihost batch assembly (single-process path), profiling hooks."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from dladmm_tpu.data.synthetic import make_dictionary
+from dladmm_tpu.models.unroll import init_dladmm_params
+from dladmm_tpu.train.loop import TrainState
+from dladmm_tpu.utils.checkpoint import (
+    latest_step_dir,
+    restore_checkpoint,
+    save_checkpoint,
+)
+
+
+@pytest.fixture
+def state():
+    A = make_dictionary(jax.random.PRNGKey(0), 10, 20)
+    params = init_dladmm_params(A, K=3)
+    opt = optax.adam(1e-3)
+    return TrainState(params, opt.init(params), jnp.asarray(7, jnp.int32))
+
+
+def test_checkpoint_roundtrip(tmp_path, state):
+    target = save_checkpoint(str(tmp_path / "ckpt"), state, step=7)
+    assert os.path.exists(target)
+    zero = jax.tree.map(jnp.zeros_like, state)
+    restored = restore_checkpoint(target, zero)
+    for got, want in zip(jax.tree.leaves(restored), jax.tree.leaves(state)):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_latest_step_dir(tmp_path, state):
+    save_checkpoint(str(tmp_path / "c"), state, step=3)
+    save_checkpoint(str(tmp_path / "c"), state, step=12)
+    latest = latest_step_dir(str(tmp_path / "c"))
+    assert latest is not None and latest.endswith("step_12")
+    assert latest_step_dir(str(tmp_path / "nope")) is None
+
+
+def test_multihost_batch_single_process():
+    """host_local_batch on 1 process == global batch, correctly sharded."""
+    from dladmm_tpu.parallel.mesh import make_mesh
+    from dladmm_tpu.parallel.multihost import host_local_batch
+
+    mesh = make_mesh(data=4, model=2)
+    A = make_dictionary(jax.random.PRNGKey(0), 16, 32)
+    batch = host_local_batch(jax.random.PRNGKey(1), A, 16, mesh)
+    assert batch.b.shape == (16, 16)
+    assert batch.x_star.shape == (16, 32)
+    np.testing.assert_allclose(
+        np.asarray(batch.b),
+        np.asarray(batch.x_star) @ np.asarray(A).T + np.asarray(batch.e_star),
+        rtol=1e-4, atol=1e-6,
+    )
+
+
+def test_profiling_hooks(tmp_path):
+    from dladmm_tpu.utils.profiling import StepTimer, trace
+
+    with trace(str(tmp_path / "tr")):
+        y = jnp.sum(jnp.ones((64, 64)) @ jnp.ones((64, 64)))
+        jax.block_until_ready(y)
+    # A trace dump directory must exist and be non-empty.
+    dumped = list(os.walk(str(tmp_path / "tr")))
+    assert any(files for _, _, files in dumped)
+    t = StepTimer()
+    assert t.lap(sync_on=y) >= 0.0
+
+
+def test_nan_debug_flag_toggles():
+    from dladmm_tpu.utils.profiling import enable_nan_debug
+
+    enable_nan_debug(True)
+    with pytest.raises(FloatingPointError):
+        jnp.log(-jnp.ones(4)).block_until_ready()
+    enable_nan_debug(False)
+    jnp.log(-jnp.ones(4)).block_until_ready()  # silent NaN again

@@ -1,0 +1,57 @@
+"""Whole-unroll megakernel parity tests (SURVEY.md N3): forward and grads
+equal the scan-of-golden-op path, interpret mode on CPU."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dladmm_tpu.data.synthetic import make_batch, make_dictionary
+from dladmm_tpu.models.unroll import dladmm_forward, init_dladmm_params
+from dladmm_tpu.ops.pallas_unroll import make_unrolled_forward, unroll_fits_vmem
+
+
+def _setup(m, n, K, S, seed=0):
+    key = jax.random.PRNGKey(seed)
+    kA, kd, kp = jax.random.split(key, 3)
+    A = make_dictionary(kA, m, n)
+    data = make_batch(kd, A, S)
+    params = init_dladmm_params(A, K=K)
+    leaves = list(params)
+    params = type(params)(
+        *(p + 0.05 * jax.random.normal(k, p.shape)
+          for k, p in zip(jax.random.split(kp, len(leaves)), leaves))
+    )
+    return A, data, params
+
+
+@pytest.mark.parametrize("m,n,K,S", [(16, 32, 4, 8), (250, 500, 15, 64), (33, 77, 5, 13)])
+def test_megakernel_forward_parity(m, n, K, S):
+    A, data, params = _setup(m, n, K, S)
+    fwd = make_unrolled_forward()
+    out_p = fwd(params, A, data.b)
+    out_r = dladmm_forward(params, A, data.b)
+    for g, w in zip(out_p, out_r):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=1e-5, atol=1e-6
+        )
+
+
+def test_megakernel_grad_parity():
+    A, data, params = _setup(24, 48, 5, 16)
+    fwd = make_unrolled_forward()
+
+    def loss(p, f):
+        x, z, _ = f(p, A, data.b)
+        return jnp.mean((x - data.x_star) ** 2) + jnp.mean((z - data.e_star) ** 2)
+
+    gp = jax.grad(loss)(params, fwd)
+    gr = jax.grad(loss)(params, lambda p, A, b: dladmm_forward(p, A, b))
+    for a, b in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+def test_unroll_fits_vmem():
+    assert unroll_fits_vmem(250, 500, 250, 64)
+    assert unroll_fits_vmem(250, 500, 250, 1024)
+    assert not unroll_fits_vmem(8192, 16384, 8192, 1024)
