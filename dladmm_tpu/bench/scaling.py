@@ -1,0 +1,134 @@
+"""Scaling + roofline harness (SURVEY.md N9, §6.2-6; BASELINE.json:5).
+
+``python -m dladmm_tpu.bench.scaling [--virtual] [--out results.json]``
+
+Measures training layer-iterations/s at increasing data-parallel degree.
+On real multi-chip hardware this produces the 1-chip/1-host/N-host
+scaling table; with --virtual it runs the SAME sharded code on an
+8-device virtual CPU mesh — useful for validating the scaling *harness*
+and collective structure, NOT for absolute numbers (the sandbox has one
+physical chip; SURVEY.md §6.2-5).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def measure_dp_scaling(mesh_shapes, m=250, n=500, K=15, per_device_batch=64,
+                       iters=10):
+    """Weak-scaling sweep: batch grows with DP degree. Returns a list of
+    {devices, batch, step_ms, layer_iter_per_s, efficiency}."""
+    from jax.sharding import NamedSharding
+
+    from dladmm_tpu.data.synthetic import make_batch, make_dictionary
+    from dladmm_tpu.models.unroll import init_dladmm_params
+    from dladmm_tpu.parallel import mesh as pmesh
+    from dladmm_tpu.parallel.collectives import (
+        B_SPEC,
+        X_SPEC,
+        Z_SPEC,
+        make_sharded_train_step,
+    )
+    from dladmm_tpu.train.loop import TrainState
+
+    key = jax.random.PRNGKey(0)
+    kA, kd = jax.random.split(key)
+    A = make_dictionary(kA, m, n)
+    optimizer = optax.adam(1e-3)
+    results = []
+    base_rate = None
+    for (dp, tp) in mesh_shapes:
+        mesh = pmesh.make_mesh(data=dp, model=tp)
+        S = per_device_batch * dp
+        params = init_dladmm_params(A, K=K)
+        sh = pmesh.param_shardings_tp(mesh)
+        params = jax.device_put(params, sh["params"])
+        A_s = jax.device_put(A, sh["A"])
+        d = make_batch(kd, A, S)
+        put = lambda v, spec: jax.device_put(v, NamedSharding(mesh, spec))
+        batch = type(d)(
+            b=put(d.b, B_SPEC),
+            x_star=put(d.x_star, X_SPEC),
+            e_star=put(d.e_star, Z_SPEC),
+        )
+        state = TrainState(
+            params, optimizer.init(params), jnp.zeros((), jnp.int32)
+        )
+        step = make_sharded_train_step(optimizer, mesh)
+
+        # Chained timing (bench/timing.py rationale).
+        def chained(state):
+            def body(_, s):
+                s2, _ = step(s, A_s, batch)
+                return s2
+            s = jax.lax.fori_loop(0, iters, body, state)
+            return jnp.sum(s.params.beta)
+
+        run = jax.jit(chained)
+        float(run(state))
+        t0 = time.perf_counter()
+        float(run(state))
+        dt = (time.perf_counter() - t0) / iters
+        rate = K * S / dt
+        if base_rate is None:
+            base_rate = rate / dp  # per-device at first config
+        results.append(
+            {
+                "devices": dp * tp,
+                "mesh": f"{dp}x{tp}",
+                "global_batch": S,
+                "step_ms": round(dt * 1e3, 3),
+                "layer_iter_per_s": round(rate, 1),
+                "efficiency_vs_linear": round(rate / (base_rate * dp), 3),
+            }
+        )
+    return results
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--virtual", action="store_true",
+                    help="force 8 virtual CPU devices (harness validation)")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--per-device-batch", type=int, default=64)
+    args = ap.parse_args(argv)
+
+    if args.virtual:
+        import os
+
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + " --xla_force_host_platform_device_count=8"
+        )
+        jax.config.update("jax_platforms", "cpu")
+
+    ndev = jax.device_count()
+    shapes = [(d, 1) for d in (1, 2, 4, 8) if d <= ndev]
+    if ndev >= 8:
+        shapes.append((4, 2))
+    results = measure_dp_scaling(
+        shapes, per_device_batch=args.per_device_batch
+    )
+    payload = {
+        "device_kind": str(jax.devices()[0]),
+        "virtual": bool(args.virtual),
+        "weak_scaling": results,
+    }
+    out = json.dumps(payload, indent=2)
+    print(out)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(out + "\n")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -29,6 +29,10 @@ def main(argv=None) -> int:
     ap.add_argument(
         "--log-jsonl", default=None, help="append per-eval scalar records here"
     )
+    ap.add_argument("--ckpt-dir", default=None, help="checkpoint directory")
+    ap.add_argument(
+        "--resume", action="store_true", help="resume from latest checkpoint"
+    )
     args = ap.parse_args(argv)
 
     from dladmm_tpu.utils.config import get_config
@@ -64,7 +68,12 @@ def main(argv=None) -> int:
     print(f"kernel path: {desc}", flush=True)
 
     params, history = fit(
-        cfg, log_fn=logger, step_fn=step_fn, forward_fn=forward_fn
+        cfg,
+        log_fn=logger,
+        step_fn=step_fn,
+        forward_fn=forward_fn,
+        ckpt_dir=args.ckpt_dir,
+        resume=args.resume,
     )
 
     last = history[-1]

@@ -48,13 +48,28 @@ def loss_fn(
     layer_weights: Optional[Array] = None,
     step_fn=None,
     forward_fn=None,
+    compute_dtype=None,
 ) -> Array:
     """MSE to ground truth; final layer only, or gamma-weighted per layer.
 
     forward_fn (e.g. the whole-unroll megakernel from models.api) replaces
     the scan entirely for the final-layer loss; deep supervision needs the
     scan's stacked trajectory and ignores it.
+
+    compute_dtype=jnp.bfloat16 runs the entire unroll in bf16 (master
+    params stay fp32 in the optimizer; loss/grads accumulate fp32) —
+    halves HBM state traffic on TPU. Quality impact measured in
+    BASELINE.md.
     """
+    if compute_dtype is not None:
+        cast = lambda t: jax.tree.map(
+            lambda v: v.astype(compute_dtype)
+            if jnp.issubdtype(v.dtype, jnp.floating)
+            else v,
+            t,
+        )
+        params, A, b = cast(params), cast(A), cast(b)
+        B = None if B is None else cast(B)
     if layer_weights is None:
         if forward_fn is not None:
             x, z, _ = forward_fn(params, A, b)
@@ -80,14 +95,21 @@ def make_train_step(
     layer_weights: Optional[Array] = None,
     step_fn=None,
     forward_fn=None,
+    donate: bool = True,
+    compute_dtype=None,
+    freeze: tuple = (),
 ) -> Callable[[TrainState, jax.Array], tuple]:
     """Build the fully fused train step: key -> data -> grad -> update.
 
-    The returned function is jitted with donated state, so params and
-    optimizer state are updated in place on device.
+    With donate=True (default) params and optimizer state are updated in
+    place on device — callers must not reuse the passed-in state's
+    buffers afterwards.
+
+    freeze: field names of DLADMMParams to keep at init (e.g. ("beta",)
+    for the paper's fixed-penalty variant — SURVEY.md §10 Q4).
     """
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def train_step(state: TrainState, key: jax.Array):
         data = make_batch(key, A, batch, sparsity_x, sparsity_e, A.dtype)
         loss, grads = jax.value_and_grad(loss_fn)(
@@ -100,7 +122,15 @@ def make_train_step(
             layer_weights,
             step_fn,
             forward_fn,
+            compute_dtype,
         )
+        if freeze:
+            grads = type(grads)(
+                *(
+                    jnp.zeros_like(g) if name in freeze else g
+                    for name, g in zip(grads._fields, grads)
+                )
+            )
         updates, opt_state = optimizer.update(
             grads, state.opt_state, state.params
         )
@@ -193,11 +223,15 @@ def fit(
     log_fn=None,
     step_fn=None,
     forward_fn=None,
+    ckpt_dir: Optional[str] = None,
+    resume: bool = False,
 ):
     """Train a D-LADMM net per config; returns (params, history).
 
     Equivalent of the reference synthetic experiment script's main
     (SURVEY.md §5.1) — one call trains and periodically evaluates.
+    With ckpt_dir, checkpoints params+opt_state+step at every eval;
+    resume=True continues from the latest step_N found there.
     """
     from dladmm_tpu.models.unroll import init_dladmm_params
 
@@ -219,6 +253,9 @@ def fit(
     if t.layer_loss == "uniform":
         layer_weights = jnp.full((p.K,), 1.0 / p.K, dtype)
 
+    compute_dtype = (
+        jnp.bfloat16 if t.compute_dtype == "bfloat16" else None
+    )
     train_step = make_train_step(
         optimizer,
         A,
@@ -229,14 +266,31 @@ def fit(
         layer_weights,
         step_fn,
         forward_fn,
+        compute_dtype=compute_dtype,
+        freeze=tuple(t.freeze),
     )
     eval_data = make_batch(
         k_eval, A, t.eval_batch, p.sparsity_x, p.sparsity_e, dtype
     )
 
+    start = 0
+    if ckpt_dir:
+        from dladmm_tpu.utils.checkpoint import (
+            latest_step_dir,
+            restore_checkpoint,
+            save_checkpoint,
+        )
+
+        if resume:
+            latest = latest_step_dir(ckpt_dir)
+            if latest is not None:
+                state = restore_checkpoint(latest, state)
+                start = int(state.step)
+
     history = []
-    for i in range(t.steps):
-        k_train, sub = jax.random.split(k_train)
+    for i in range(start, t.steps):
+        # Deterministic per-step key: resume reproduces the cold run.
+        sub = jax.random.fold_in(k_train, i)
         state, loss = train_step(state, sub)
         if (i + 1) % t.eval_every == 0 or i + 1 == t.steps:
             ev = evaluate(state.params, A, eval_data, B, step_fn=step_fn)
@@ -249,4 +303,6 @@ def fit(
             history.append({**rec, "curves": ev})
             if log_fn:
                 log_fn(rec)
+            if ckpt_dir:
+                save_checkpoint(ckpt_dir, state, step=i + 1)
     return state.params, history

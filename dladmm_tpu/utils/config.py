@@ -35,6 +35,13 @@ class TrainConfig:
     layer_loss: Optional[str] = None
     # {auto|megakernel|pallas|reference} (SURVEY.md §9.1; models/api.py)
     kernel: str = "auto"
+    # "bfloat16" runs the unroll in bf16 with fp32 master params/optimizer
+    # (mixed precision); "float32" is full precision. Matmul MXU passes
+    # are bf16 either way (TPU default precision).
+    compute_dtype: str = "float32"
+    # DLADMMParams fields kept at their LADMM init (not trained), e.g.
+    # ("beta",) for the paper's fixed-penalty variant.
+    freeze: tuple = ()
     dtype: str = "float32"
 
 
