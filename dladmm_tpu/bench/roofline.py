@@ -1,0 +1,112 @@
+"""Roofline check for the layer kernels (SURVEY.md N9; BASELINE.json:5
+"speed-of-light MXU utilization" verification).
+
+``python -m dladmm_tpu.bench.roofline [--out roofline.json]``
+
+For each benchmark shape and kernel path: measures achieved time
+(device-chained), computes the analytic FLOP count and minimum HBM
+traffic, and reports achieved TF/s, fraction of MXU peak, and fraction of
+the memory-bound bound — i.e., how far from the hardware roofline the
+kernel sits and WHICH wall it is against.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+# TPU v5e (v5 lite) per-chip peaks; override via flags for other chips.
+PEAK_BF16_TFLOPS = 197.0
+PEAK_FP32_TFLOPS = 49.0  # fp32 via MXU multi-pass, approximate
+HBM_GBPS = 819.0
+
+
+def _chained(f, init, iters):
+    @jax.jit
+    def run(c):
+        c = jax.lax.fori_loop(0, iters, lambda _, cc: f(cc), c)
+        return jnp.sum(c[:8, :8])
+
+    float(run(init))
+    t0 = time.perf_counter()
+    float(run(init))
+    return (time.perf_counter() - t0) / iters
+
+
+def analyze(m, n, K, S, paths=("reference", "megakernel"), iters=50):
+    from dladmm_tpu.data.synthetic import make_batch, make_dictionary
+    from dladmm_tpu.models.unroll import dladmm_forward, init_dladmm_params
+    from dladmm_tpu.ops.pallas_unroll import (
+        make_unrolled_forward,
+        unroll_fits_vmem,
+    )
+
+    key = jax.random.PRNGKey(0)
+    kA, kd = jax.random.split(key)
+    A = make_dictionary(kA, m, n)
+    data = make_batch(kd, A, S)
+    params = init_dladmm_params(A, K=K)
+
+    flops = 2 * S * m * (2 * n + m) * K  # cached-matvec recurrence
+    # Minimum HBM bytes: weights once per layer + state in/out once.
+    weight_bytes = K * (2 * n * m + m * m) * 4 + m * n * 4
+    state_bytes = S * (2 * n + 6 * m) * 4
+    min_bytes = weight_bytes + state_bytes
+
+    t_compute_bf16 = flops / (PEAK_BF16_TFLOPS * 1e12)
+    t_memory = min_bytes / (HBM_GBPS * 1e9)
+    t_sol = max(t_compute_bf16, t_memory)
+
+    rows = []
+    for path in paths:
+        if path == "megakernel":
+            if not unroll_fits_vmem(m, n, m, S):
+                continue
+            fwd = make_unrolled_forward()
+            f = lambda b: fwd(params, A, b)[2]
+        else:
+            f = lambda b: dladmm_forward(params, A, b)[2]
+        t = _chained(f, data.b, iters)
+        rows.append(
+            {
+                "path": path,
+                "time_us": round(t * 1e6, 1),
+                "achieved_tflops": round(flops / t / 1e12, 2),
+                "frac_of_mxu_peak_bf16": round(t_compute_bf16 / t, 3),
+                "frac_of_memory_bound": round(t_memory / t, 3),
+                "frac_of_roofline": round(t_sol / t, 3),
+                "bound": "compute" if t_compute_bf16 > t_memory else "memory",
+            }
+        )
+    return {
+        "shape": f"A {m}x{n}, K={K}, batch={S}",
+        "flops_g": round(flops / 1e9, 2),
+        "min_hbm_mb": round(min_bytes / 1e6, 1),
+        "paths": rows,
+    }
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args(argv)
+    results = [
+        analyze(250, 500, 15, 64, iters=100),
+        analyze(250, 500, 15, 1024, iters=50),
+        analyze(1000, 2000, 20, 1024, paths=("reference",), iters=20),
+    ]
+    out = json.dumps(results, indent=2)
+    print(out)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(out + "\n")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -154,6 +154,146 @@ def _unrolled_forward_pallas(
     return x, z, lam
 
 
+def _unroll_traj_kernel(
+    # inputs
+    b_ref,
+    a_mat_ref,
+    w1_ref,
+    w2_ref,
+    th1_ref,
+    th2_ref,
+    beta_ref,
+    # outputs: per-layer snapshots, k-indexed blocks
+    tx_ref,  # (1, S, n)
+    tz_ref,  # (1, S, d)
+    tlam_ref,  # (1, S, m)
+    # scratch: resident working state across all K grid steps
+    x_s,
+    z_s,
+    lam_s,
+    ax_s,
+    *,
+    matmul_dtype,
+):
+    k = pl.program_id(0)
+
+    @pl.when(k == 0)
+    def _init():
+        x_s[:] = jnp.zeros_like(x_s)
+        z_s[:] = jnp.zeros_like(z_s)
+        lam_s[:] = jnp.zeros_like(lam_s)
+        ax_s[:] = jnp.zeros_like(ax_s)
+
+    def dot_t(a, w):
+        if matmul_dtype is not None:
+            a = a.astype(matmul_dtype)
+            w = w.astype(matmul_dtype)
+        return jax.lax.dot_general(
+            a, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    beta = jnp.maximum(beta_ref[k, 0], 1e-6)
+    z = z_s[:]
+    lam = lam_s[:]
+    b = b_ref[:]
+    base = z - b + lam * (1.0 / beta)
+    u = ax_s[:] + base
+    th1 = jnp.maximum(th1_ref[0], 0.0)
+    p1 = x_s[:] - dot_t(u, w1_ref[0])
+    x1 = jnp.sign(p1) * jnp.maximum(jnp.abs(p1) - th1, 0.0)
+    ax1 = dot_t(x1, a_mat_ref[:])
+    v = ax1 + base
+    th2 = jnp.maximum(th2_ref[0], 0.0)
+    p2 = z - dot_t(v, w2_ref[0])
+    z1 = jnp.sign(p2) * jnp.maximum(jnp.abs(p2) - th2, 0.0)
+    lam1 = lam + beta * (ax1 + z1 - b)
+    x_s[:] = x1
+    z_s[:] = z1
+    lam_s[:] = lam1
+    ax_s[:] = ax1
+    tx_ref[0] = x1
+    tz_ref[0] = z1
+    tlam_ref[0] = lam1
+
+
+def make_unrolled_trajectory(
+    matmul_dtype=None, interpret: Optional[bool] = None
+):
+    """Trajectory-capturing megakernel: (params, A, b) -> stacked
+    per-layer (x, z, lam) of shape (K, S, ·) — megakernel speed for the
+    NMSE-vs-layer eval and deep-supervision loss. Exact grads via
+    rematerialized pure-JAX backward."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    def _pallas(params, A, b):
+        K, n, m = params.W1.shape
+        d = params.W2.shape[1]
+        S = b.shape[0]
+        th1 = jnp.broadcast_to(
+            params.theta1.reshape(K, 1, -1).astype(b.dtype), (K, 1, n)
+        )
+        th2 = jnp.broadcast_to(
+            params.theta2.reshape(K, 1, -1).astype(b.dtype), (K, 1, d)
+        )
+        beta = params.beta.reshape(K, 1).astype(b.dtype)
+        whole = lambda shape: pl.BlockSpec(
+            shape, lambda k: (0,) * len(shape), memory_space=pltpu.VMEM
+        )
+        per_layer = lambda *dims: pl.BlockSpec(
+            (1,) + dims,
+            lambda k: (k,) + (0,) * len(dims),
+            memory_space=pltpu.VMEM,
+        )
+        return pl.pallas_call(
+            functools.partial(_unroll_traj_kernel, matmul_dtype=matmul_dtype),
+            grid=(K,),
+            in_specs=[
+                whole((S, m)),
+                whole((m, n)),
+                per_layer(n, m),
+                per_layer(d, m),
+                per_layer(1, n),
+                per_layer(1, d),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=[per_layer(S, n), per_layer(S, d), per_layer(S, m)],
+            out_shape=[
+                jax.ShapeDtypeStruct((K, S, n), b.dtype),
+                jax.ShapeDtypeStruct((K, S, d), b.dtype),
+                jax.ShapeDtypeStruct((K, S, m), b.dtype),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((S, n), jnp.float32),
+                pltpu.VMEM((S, d), jnp.float32),
+                pltpu.VMEM((S, m), jnp.float32),
+                pltpu.VMEM((S, m), jnp.float32),
+            ],
+            interpret=interpret,
+        )(b, A, params.W1, params.W2, th1, th2, beta)
+
+    def _ref_traj(params, A, b):
+        from dladmm_tpu.models.unroll import dladmm_forward
+
+        _, traj = dladmm_forward(params, A, b, capture_trajectory=True)
+        return traj
+
+    @jax.custom_vjp
+    def trajectory(params, A, b):
+        return tuple(_pallas(params, A, b))
+
+    def fwd(params, A, b):
+        return trajectory(params, A, b), (params, A, b)
+
+    def bwd(res, cts):
+        params, A, b = res
+        _, vjp = jax.vjp(_ref_traj, params, A, b)
+        return vjp(cts)
+
+    trajectory.defvjp(fwd, bwd)
+    return trajectory
+
+
 def make_unrolled_forward(matmul_dtype=None, interpret: Optional[bool] = None):
     """Returns forward(params, A, b) -> (x_K, z_K, lam_K) running the
     whole-unroll megakernel, with exact gradients via a rematerialized

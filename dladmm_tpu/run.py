@@ -29,6 +29,7 @@ def main(argv=None) -> int:
     ap.add_argument(
         "--log-jsonl", default=None, help="append per-eval scalar records here"
     )
+    ap.add_argument("--plot", default=None, help="save NMSE-vs-layer PNG here")
     ap.add_argument("--ckpt-dir", default=None, help="checkpoint directory")
     ap.add_argument(
         "--resume", action="store_true", help="resume from latest checkpoint"
@@ -78,6 +79,16 @@ def main(argv=None) -> int:
 
     last = history[-1]
     curves = last["curves"]
+    if args.plot:
+        from dladmm_tpu.utils.plots import save_nmse_curve_plot
+
+        save_nmse_curve_plot(
+            args.plot,
+            [float(v) for v in curves["nmse_curve_db"]],
+            [float(v) for v in curves["ladmm_curve_db"]],
+            title=f"{cfg.name}: NMSE vs layer (K={cfg.problem.K})",
+        )
+        print(f"plot saved: {args.plot}")
     print(f"\nconfig={cfg.name}  steps={cfg.train.steps}")
     print(f"{'layer':>5} {'D-LADMM NMSE(dB)':>18} {'LADMM NMSE(dB)':>16}")
     for k, (a, b) in enumerate(

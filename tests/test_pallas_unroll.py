@@ -55,3 +55,37 @@ def test_unroll_fits_vmem():
     assert unroll_fits_vmem(250, 500, 250, 64)
     assert unroll_fits_vmem(250, 500, 250, 1024)
     assert not unroll_fits_vmem(8192, 16384, 8192, 1024)
+
+
+def test_trajectory_megakernel_parity():
+    from dladmm_tpu.ops.pallas_unroll import make_unrolled_trajectory
+
+    A, data, params = _setup(24, 48, 5, 16)
+    traj_fn = make_unrolled_trajectory()
+    got = traj_fn(params, A, data.b)
+    _, want = dladmm_forward(params, A, data.b, capture_trajectory=True)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=1e-5, atol=1e-6
+        )
+
+
+def test_trajectory_megakernel_grads():
+    from dladmm_tpu.ops.pallas_unroll import make_unrolled_trajectory
+
+    A, data, params = _setup(16, 32, 4, 8)
+    traj_fn = make_unrolled_trajectory()
+
+    def loss(p, f):
+        tx, tz, _ = f(p, A, data.b)
+        return jnp.mean((tx - data.x_star[None]) ** 2) + jnp.mean(
+            (tz - data.e_star[None]) ** 2
+        )
+
+    gp = jax.grad(loss)(params, traj_fn)
+    gr = jax.grad(loss)(
+        params,
+        lambda p, A_, b_: dladmm_forward(p, A_, b_, capture_trajectory=True)[1],
+    )
+    for a, b in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
