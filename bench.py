@@ -26,16 +26,19 @@ import jax.numpy as jnp
 import optax
 
 
-def _chained_train_time(step, state0, iters=8):
+def _chained_train_time(step, state0, iters=8, repeats=3):
     @jax.jit
     def run(state):
         state = jax.lax.fori_loop(0, iters, lambda _, s: step(s), state)
         return jnp.sum(state.params.beta)
 
     float(run(state0))  # compile + warm
-    t0 = time.perf_counter()
-    float(run(state0))
-    return (time.perf_counter() - t0) / iters
+    best = float("inf")
+    for _ in range(repeats):  # best-of-N: the relay chip is shared/noisy
+        t0 = time.perf_counter()
+        float(run(state0))
+        best = min(best, time.perf_counter() - t0)
+    return best / iters
 
 
 def main() -> None:

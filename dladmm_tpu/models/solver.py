@@ -75,6 +75,15 @@ class DLADMMSolver:
 
     def trajectory(self, b: Array):
         """Per-layer (x_k, z_k, lam_k) stacks, (K, S, ·)."""
+        if self.B is None and self.kernel in ("auto", "megakernel", "pallas"):
+            from dladmm_tpu.ops.pallas_unroll import (
+                make_unrolled_trajectory,
+                unroll_fits_vmem,
+            )
+
+            m, n = self.A.shape
+            if unroll_fits_vmem(m, n, m, b.shape[0]):
+                return make_unrolled_trajectory()(self.params, self.A, b)
         _, step_fn, _ = self._paths(b.shape[0], need_trajectory=True)
         _, traj = dladmm_forward(
             self.params, self.A, b, B=self.B, capture_trajectory=True,

@@ -156,6 +156,16 @@ def dladmm_forward(
         step_fn = dladmm_layer_step_cached
     n = params.W1.shape[1]
     d = params.W2.shape[1]
+    m = A.shape[0]
+    if A.shape[1] != n or params.W1.shape[2] != m:
+        raise ValueError(
+            f"A {A.shape} inconsistent with W1 {params.W1.shape[1:]} — "
+            "expected A (m, n) and per-layer W1 (n, m)"
+        )
+    if b.ndim != 2 or b.shape[1] != m:
+        raise ValueError(f"b must be (batch, m={m}); got {b.shape}")
+    if B is not None and B.shape != (m, d):
+        raise ValueError(f"B must be (m={m}, d={d}); got {B.shape}")
     x = jnp.zeros((b.shape[0], n), b.dtype) if x0 is None else x0
     z = jnp.zeros((b.shape[0], d), b.dtype) if z0 is None else z0
     lam = jnp.zeros_like(b) if lam0 is None else lam0

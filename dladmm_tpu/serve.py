@@ -1,0 +1,94 @@
+"""Serving path: low-latency / high-throughput inference on a trained
+solver (production-deployment scope from the north star; the reference
+has no serving story — SURVEY.md §3.1).
+
+Design:
+  * AOT compilation: every batch bucket is lowered + compiled at server
+    construction (jit(...).lower().compile()), so no request ever pays
+    the multi-second XLA compile.
+  * Batch bucketing: requests are padded up to the next power-of-two
+    bucket (static shapes for XLA; padded rows are discarded — every row
+    is independent, so padding is exact).
+  * The megakernel is used when the shape qualifies (models/api policy),
+    giving single-kernel whole-unroll latency.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+from dladmm_tpu.models.api import select_forward
+from dladmm_tpu.models.unroll import DLADMMParams, dladmm_forward
+
+
+def _buckets(max_batch: int) -> Tuple[int, ...]:
+    out, b = [], 1
+    while b < max_batch:
+        out.append(b)
+        b *= 2
+    out.append(max_batch)
+    return tuple(out)
+
+
+class InferenceServer:
+    """AOT-compiled D-LADMM inference over batch buckets.
+
+    >>> server = InferenceServer(params, A, max_batch=256)
+    >>> x, e = server.solve(b)     # b: (S, m), any S <= max_batch
+    """
+
+    def __init__(
+        self,
+        params: DLADMMParams,
+        A: Array,
+        max_batch: int = 256,
+        kernel: str = "auto",
+        buckets: Optional[Sequence[int]] = None,
+        donate_input: bool = False,
+    ):
+        m, n = A.shape
+        d = params.W2.shape[1]
+        self.params = params
+        self.A = A
+        self.m = m
+        self.buckets = tuple(sorted(buckets or _buckets(max_batch)))
+        self._compiled: Dict[int, jax.stages.Compiled] = {}
+        for S in self.buckets:
+            forward_fn, step_fn, _ = select_forward(
+                m, n, d, S, kernel=kernel
+            )
+            if forward_fn is None:
+                forward_fn = lambda p, A_, b_, _sf=step_fn: dladmm_forward(
+                    p, A_, b_, step_fn=_sf
+                )
+            fn = jax.jit(lambda p, A_, b_, _f=forward_fn: _f(p, A_, b_)[:2])
+            self._compiled[S] = fn.lower(
+                params, A, jax.ShapeDtypeStruct((S, m), A.dtype)
+            ).compile()
+
+    def _bucket_for(self, S: int) -> int:
+        for b in self.buckets:
+            if S <= b:
+                return b
+        raise ValueError(
+            f"batch {S} exceeds max bucket {self.buckets[-1]}"
+        )
+
+    def solve(self, b: Array) -> Tuple[Array, Array]:
+        """b (S, m) -> (x (S, n), z (S, d)); pads to the bucket size and
+        slices back. Rows are independent, so results are exact."""
+        S = b.shape[0]
+        bucket = self._bucket_for(S)
+        if b.shape[1] != self.m:
+            raise ValueError(f"expected (S, {self.m}), got {b.shape}")
+        if bucket != S:
+            b = jnp.concatenate(
+                [b, jnp.zeros((bucket - S, self.m), b.dtype)]
+            )
+        x, z = self._compiled[bucket](self.params, self.A, b)
+        return x[:S], z[:S]

@@ -246,7 +246,13 @@ def fit(
     B = None  # identity_B benchmark path; general B via explicit arg
 
     params = init_dladmm_params(A, B, K=p.K, beta=p.beta, dtype=dtype)
-    optimizer = optax.adam(t.lr)
+    if t.lr_schedule == "cosine":
+        lr = optax.warmup_cosine_decay_schedule(
+            0.0, t.lr, max(1, t.steps // 20), t.steps
+        )
+    else:
+        lr = t.lr
+    optimizer = optax.adam(lr)
     state = TrainState(params, optimizer.init(params), jnp.zeros((), jnp.int32))
 
     layer_weights = None

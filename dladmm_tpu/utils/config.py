@@ -33,6 +33,8 @@ class TrainConfig:
     # Per-layer loss weighting: None = final-layer MSE only; "uniform" =
     # deep supervision with equal weights (SURVEY.md §2 point 6).
     layer_loss: Optional[str] = None
+    # None = constant lr; "cosine" = linear warmup (5%) + cosine decay to 0.
+    lr_schedule: Optional[str] = None
     # {auto|megakernel|pallas|reference} (SURVEY.md §9.1; models/api.py)
     kernel: str = "auto"
     # "bfloat16" runs the unroll in bf16 with fp32 master params/optimizer

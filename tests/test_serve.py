@@ -1,0 +1,45 @@
+"""Serving-path tests: AOT buckets, padding exactness, validation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dladmm_tpu.data.synthetic import make_batch, make_dictionary
+from dladmm_tpu.models.unroll import dladmm_forward, init_dladmm_params
+from dladmm_tpu.serve import InferenceServer
+
+
+@pytest.fixture(scope="module")
+def server_and_data():
+    key = jax.random.PRNGKey(0)
+    kA, kd = jax.random.split(key)
+    A = make_dictionary(kA, 20, 40)
+    params = init_dladmm_params(A, K=5)
+    data = make_batch(kd, A, 40)
+    return InferenceServer(params, A, max_batch=64), params, A, data
+
+
+def test_bucketed_solve_matches_direct(server_and_data):
+    server, params, A, data = server_and_data
+    for S in (1, 3, 17, 40):  # all off-bucket sizes
+        b = data.b[:S]
+        x, z = server.solve(b)
+        xr, zr, _ = dladmm_forward(params, A, b)
+        assert x.shape == (S, 40) and z.shape == (S, 20)
+        np.testing.assert_allclose(np.asarray(x), np.asarray(xr), rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(z), np.asarray(zr), rtol=1e-5, atol=1e-6)
+
+
+def test_no_compile_at_request_time(server_and_data):
+    server, *_ = server_and_data
+    # All buckets compiled up-front.
+    assert set(server.buckets) == set(server._compiled)
+
+
+def test_validation(server_and_data):
+    server, _, _, data = server_and_data
+    with pytest.raises(ValueError, match="exceeds max bucket"):
+        server.solve(jnp.zeros((100, 20)))
+    with pytest.raises(ValueError, match="expected"):
+        server.solve(jnp.zeros((4, 21)))
