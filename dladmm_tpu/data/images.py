@@ -47,6 +47,16 @@ def salt_pepper(key: jax.Array, img: Array, density: float = 0.1) -> Array:
     return jnp.where(hit, val, img)
 
 
+def dropout_mask(key: jax.Array, img: Array, density: float = 0.3):
+    """Inpainting corruption: fraction `density` of pixels MISSING (known
+    mask). Returns (corrupted, mask) with mask==1 on observed pixels and
+    corrupted==0 on missing ones — the l1/l1 model's e channel absorbs
+    the (known-location) deletions exactly like impulse noise."""
+    keep = ~jax.random.bernoulli(key, density, img.shape)
+    mask = keep.astype(img.dtype)
+    return img * mask, mask
+
+
 @functools.partial(jax.jit, static_argnames=("patch", "stride"))
 def extract_patches(img: Array, patch: int = 8, stride: int = 4) -> Array:
     """(H, W) -> (num_patches, patch*patch), row-major over patch grid."""

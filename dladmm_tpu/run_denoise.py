@@ -1,17 +1,23 @@
-"""Image-denoising benchmark CLI (SURVEY.md §5.4, R7 equivalent).
+"""Image denoising / inpainting benchmark CLI (SURVEY.md §5.4, R7).
 
-``python -m dladmm_tpu.run_denoise [--quick]``
+``python -m dladmm_tpu.run_denoise [--quick] [--mode {denoise,inpaint}]
+                                   [--dict {dct,learned}]``
 
 Pipeline (reference call stack §5.4, fixture-free per §9.5):
-  1. Overcomplete 2-D DCT patch dictionary A (64 x 256) — stands in for
-     the reference's learned .mat dictionary (caveat noted in BASELINE.md).
-  2. Corrupt test images with salt & pepper impulse noise; extract
-     overlapping patches; subtract robust (median) per-patch DC.
+  1. Patch dictionary A (64 x 256): overcomplete 2-D DCT, or LEARNED from
+     clean training patches with our own solver (FISTA + MOD alternation,
+     data/dictionary.py) — the fixture-free stand-ins for the reference's
+     learned .mat dictionary (caveat noted in BASELINE.md).
+  2. Corrupt test images — salt & pepper impulse noise (denoise mode) or
+     known-mask pixel deletion (inpaint mode, BASELINE.json:9
+     "denoising/inpainting"); extract overlapping patches; subtract
+     robust (median) per-patch DC.
   3. Train the D-LADMM net end-to-end ON PATCH DATA: b = corrupted patch
      residual, supervised by ||A x_K - clean residual||^2 + ||e_K -
-     impulse noise||^2 (the l1/l1 model: Ax + e = b).
-  4. Reconstruct A x-hat + DC, overlap-average, report PSNR vs the
-     corrupted input's PSNR.
+     corruption||^2 (the l1/l1 model: Ax + e = b).
+  4. Reconstruct A x-hat + DC, overlap-average (inpaint mode additionally
+     keeps the known-good observed pixels), report PSNR vs the corrupted
+     input's PSNR.
 """
 
 from __future__ import annotations
@@ -26,15 +32,25 @@ import jax.numpy as jnp
 import optax
 
 
-def _make_patch_batch(key, images, density, patch, stride):
+def _corrupt(key, img, mode, density):
+    """Apply the benchmark corruption. Returns (corrupted, mask-or-None);
+    mask==1 marks observed pixels (inpaint mode only)."""
+    from dladmm_tpu.data.images import dropout_mask, salt_pepper
+
+    if mode == "inpaint":
+        return dropout_mask(key, img, density)
+    return salt_pepper(key, img, density), None
+
+
+def _make_patch_batch(key, images, density, patch, stride, mode="denoise"):
     """Corrupt + patchify one epoch of training data (host-side prep,
     device compute)."""
-    from dladmm_tpu.data.images import extract_patches, patch_dc, salt_pepper
+    from dladmm_tpu.data.images import extract_patches, patch_dc
 
     ks = jax.random.split(key, len(images))
     bs, tgt_res, tgt_noise = [], [], []
     for k, img in zip(ks, images):
-        noisy = salt_pepper(k, img, density)
+        noisy, _ = _corrupt(k, img, mode, density)
         p_noisy = extract_patches(noisy, patch, stride)
         p_clean = extract_patches(img, patch, stride)
         dc = patch_dc(p_noisy)
@@ -60,6 +76,7 @@ def train_denoiser(
     stride=4,
     seed=0,
     log_every=100,
+    mode="denoise",
 ):
     """Train D-LADMM on patch data; returns trained params."""
     from dladmm_tpu.models.unroll import dladmm_forward, init_dladmm_params
@@ -84,15 +101,19 @@ def train_denoiser(
     key = jax.random.PRNGKey(seed)
     for i in range(steps):
         key, sub = jax.random.split(key)
-        b, tr, tn = _make_patch_batch(sub, images, density, patch, stride)
+        b, tr, tn = _make_patch_batch(sub, images, density, patch, stride, mode)
         params, opt_state, loss = train_step(params, opt_state, b, tr, tn)
         if log_every and (i + 1) % log_every == 0:
             print(f"step {i+1} loss {float(loss):.5f}", file=sys.stderr)
     return params
 
 
-def denoise_image(params, A, noisy, *, patch=8, stride=4):
-    """Denoise one image with a trained net; returns the reconstruction."""
+def denoise_image(params, A, noisy, *, patch=8, stride=4, mask=None):
+    """Restore one image with a trained net; returns the reconstruction.
+
+    With a known observation ``mask`` (inpaint mode), observed pixels are
+    kept from the input and only the missing ones are filled in.
+    """
     from dladmm_tpu.data.images import (
         extract_patches,
         patch_dc,
@@ -107,12 +128,28 @@ def denoise_image(params, A, noisy, *, patch=8, stride=4):
     out = reconstruct_from_patches(
         clean_patches, noisy.shape[0], patch, stride
     )
+    if mask is not None:
+        out = mask * noisy + (1.0 - mask) * out
     return jnp.clip(out, 0.0, 1.0)
 
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--quick", action="store_true", help="tiny run for CI")
+    ap.add_argument(
+        "--mode",
+        choices=("denoise", "inpaint"),
+        default="denoise",
+        help="impulse-noise removal or known-mask pixel inpainting",
+    )
+    ap.add_argument(
+        "--dict",
+        dest="dictionary",
+        choices=("dct", "learned"),
+        default="dct",
+        help="overcomplete 2-D DCT, or learned from clean training "
+        "patches (FISTA+MOD, data/dictionary.py)",
+    )
     ap.add_argument("--density", type=float, default=0.1)
     ap.add_argument("--layers", type=int, default=15)
     ap.add_argument("--steps", type=int, default=400)
@@ -123,8 +160,8 @@ def main(argv=None) -> int:
     if args.quick:
         args.steps, args.images, args.size, args.layers = 60, 2, 64, 8
 
-    from dladmm_tpu.data.dictionary import dct_dictionary
-    from dladmm_tpu.data.images import salt_pepper, synthetic_image
+    from dladmm_tpu.data.dictionary import dct_dictionary, learn_dictionary
+    from dladmm_tpu.data.images import extract_patches, synthetic_image
     from dladmm_tpu.metrics.core import psnr
 
     A = dct_dictionary(patch=8, atoms_per_dim=16)
@@ -135,20 +172,35 @@ def main(argv=None) -> int:
         synthetic_image(k, args.size)
         for k in jax.random.split(k_train, args.images)
     ]
+    if args.dictionary == "learned":
+        # Learn from CLEAN training patches (zero-mean), DCT init —
+        # fixture-free stand-in for the reference's learned dictionary.
+        clean_p = jnp.concatenate(
+            [extract_patches(img, 8, 4) for img in train_imgs]
+        )
+        clean_p = clean_p - jnp.mean(clean_p, axis=1, keepdims=True)
+        outer = 4 if args.quick else 12
+        A = learn_dictionary(
+            clean_p, A, n_atoms=A.shape[1], outer=outer
+        )
+        print(f"learned dictionary: {A.shape} from {clean_p.shape[0]} "
+              "clean patches", file=sys.stderr)
+
     params = train_denoiser(
         A,
         train_imgs,
         K=args.layers,
         steps=args.steps,
         density=args.density,
+        mode=args.mode,
     )
 
     results = []
     for i, k in enumerate(jax.random.split(k_test, 3)):
         kimg, knoise = jax.random.split(k)
         clean = synthetic_image(kimg, args.size)
-        noisy = salt_pepper(knoise, clean, args.density)
-        recon = denoise_image(params, A, noisy)
+        noisy, mask = _corrupt(knoise, clean, args.mode, args.density)
+        recon = denoise_image(params, A, noisy, mask=mask)
         results.append(
             {
                 "image": i,
@@ -163,7 +215,16 @@ def main(argv=None) -> int:
     mean_gain = sum(
         r["psnr_denoised_db"] - r["psnr_noisy_db"] for r in results
     ) / len(results)
-    print(json.dumps({"results": results, "mean_psnr_gain_db": round(mean_gain, 2)}))
+    print(
+        json.dumps(
+            {
+                "mode": args.mode,
+                "dict": args.dictionary,
+                "results": results,
+                "mean_psnr_gain_db": round(mean_gain, 2),
+            }
+        )
+    )
     return 0
 
 

@@ -64,3 +64,65 @@ def test_end_to_end_denoise_gain():
     recon = denoise_image(params, A, noisy)
     gain = float(psnr(recon, clean)) - float(psnr(noisy, clean))
     assert gain > 3.0, gain
+
+
+def test_dropout_mask_density_and_zeroing():
+    from dladmm_tpu.data.images import dropout_mask
+
+    img = jnp.full((128, 128), 0.5)
+    noisy, mask = dropout_mask(jax.random.PRNGKey(0), img, density=0.3)
+    frac_missing = 1.0 - float(mask.mean())
+    assert 0.25 < frac_missing < 0.35
+    # Missing pixels are exactly zero; observed ones untouched.
+    np.testing.assert_allclose(np.asarray(noisy), np.asarray(img * mask))
+
+
+def test_end_to_end_inpaint_gain():
+    """Known-mask inpainting: observed pixels exact, clear PSNR gain."""
+    from dladmm_tpu.data.images import dropout_mask
+    from dladmm_tpu.metrics.core import psnr
+    from dladmm_tpu.run_denoise import denoise_image, train_denoiser
+
+    A = dct_dictionary()
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    train_imgs = [synthetic_image(k1, 64)]
+    params = train_denoiser(
+        A, train_imgs, K=6, steps=30, density=0.3, log_every=0,
+        mode="inpaint",
+    )
+    clean = synthetic_image(k2, 64)
+    noisy, mask = dropout_mask(k3, clean, 0.3)
+    recon = denoise_image(params, A, noisy, mask=mask)
+    # Observed pixels are passed through exactly (up to the clip).
+    obs = np.asarray(mask) > 0
+    np.testing.assert_allclose(
+        np.asarray(recon)[obs], np.asarray(noisy)[obs], atol=1e-6
+    )
+    gain = float(psnr(recon, clean)) - float(psnr(noisy, clean))
+    assert gain > 5.0, gain
+
+
+def test_learn_dictionary_improves_sparse_fit():
+    """FISTA+MOD learning must (a) keep unit-norm atoms, (b) reduce the
+    LASSO objective on training patches vs the DCT init."""
+    from dladmm_tpu.data.dictionary import _fista_code, learn_dictionary
+
+    key = jax.random.PRNGKey(0)
+    img = synthetic_image(key, 64)
+    P = extract_patches(img, 8, 4)
+    P = P - jnp.mean(P, axis=1, keepdims=True)
+    D0 = dct_dictionary()
+    D = learn_dictionary(P, D0, n_atoms=256, outer=4, fista_iters=25)
+    assert D.shape == D0.shape
+    norms = np.linalg.norm(np.asarray(D), axis=0)
+    np.testing.assert_allclose(norms, 1.0, rtol=1e-3)
+
+    lam = 0.05
+
+    def objective(Dk):
+        X = _fista_code(Dk, P, lam, 25)
+        r = P - X @ Dk.T
+        return float(0.5 * jnp.sum(r * r) + lam * jnp.sum(jnp.abs(X)))
+
+    assert objective(D) < 0.9 * objective(D0), (objective(D), objective(D0))
