@@ -55,11 +55,19 @@ def main() -> None:
     optimizer = optax.adam(1e-3)
     state0 = TrainState(params, optimizer.init(params), jnp.zeros((), jnp.int32))
 
-    def make_step(precision):
+    def make_step(precision, compute_dtype=None, vjp="auto"):
         def step(state):
             def wrapped(p):
                 with jax.default_matmul_precision(precision):
-                    return loss_fn(p, A, data.b, data.x_star, data.e_star)
+                    return loss_fn(
+                        p,
+                        A,
+                        data.b,
+                        data.x_star,
+                        data.e_star,
+                        compute_dtype=compute_dtype,
+                        vjp=vjp,
+                    )
 
             loss, grads = jax.value_and_grad(wrapped)(state.params)
             updates, opt_state = optimizer.update(
@@ -73,11 +81,15 @@ def main() -> None:
 
         return step
 
-    # Framework path: TPU-native default (bf16 MXU passes, fp32 state).
-    t_fast = _chained_train_time(make_step("bfloat16"), state0)
-    # Straight-port baseline: full fp32 matmuls (what a naive port of the
-    # reference's fp32 cuBLAS pipeline does on TPU).
-    t_port = _chained_train_time(make_step("float32"), state0)
+    # Framework path: TPU-native default — bf16 unroll (fp32 masters) +
+    # hand-written reverse-scan VJP (ops/unroll_vjp.py). Quality parity
+    # for both choices is measured in BASELINE.md.
+    t_fast = _chained_train_time(
+        make_step("bfloat16", jnp.bfloat16, "manual"), state0
+    )
+    # Straight-port baseline: full fp32 matmuls + XLA autodiff (what a
+    # naive port of the reference's fp32 cuBLAS pipeline does on TPU).
+    t_port = _chained_train_time(make_step("float32", None, "xla"), state0)
 
     value = K * S / t_fast
     print(

@@ -1,0 +1,196 @@
+"""Hand-written VJP for the whole K-layer unroll (SURVEY.md §9 hard part 1).
+
+XLA's autodiff through ``lax.scan`` saves every intermediate the transpose
+rules mention (u, v, both pre-shrink activations, and the carry chain) —
+for the flagship config that is ~1 GB of residual HBM traffic per step.
+But the D-LADMM layer's backward needs far less: every intermediate is
+*elementwise-recomputable from the carry trajectory alone*:
+
+    u_k   = Ax_k  + z_k - b + lam_k/beta      (all carries at layer input)
+    v_k   = Ax_{k+1} + z_k - b + lam_k/beta   (Ax_{k+1} is the NEXT carry)
+    shrink masks/signs = support/sign of x_{k+1}, z_{k+1}  (outputs!)
+
+So this module stores only the (x, z, lam, Ax) trajectory in the forward
+scan and runs a reverse ``lax.scan`` that rebuilds u, v, and the shrink
+masks on the fly. All matmuls (the 6 backward contractions per layer)
+stay ordinary dot_generals on the MXU — no Pallas required; the win is
+pure residual-traffic elimination. Exactness vs ``jax.grad`` of the
+golden op is pinned by tests/test_unroll_vjp.py.
+
+B = I fast path only (both reference benchmarks; SURVEY.md §2 point 4).
+General B falls back to XLA autodiff in train/loop.py.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from dladmm_tpu.ops.reference import _BETA_MIN, LayerParams, shrink
+
+_mm = lambda a, M: jax.lax.dot_general(  # (S,k) x (j,k)ᵀ -> (S,j)
+    a, M, (((1,), (1,)), ((), ())), preferred_element_type=a.dtype
+)
+_mn = lambda a, M: jax.lax.dot_general(  # (S,k) x (k,j) -> (S,j)
+    a, M, (((1,), (0,)), ((), ())), preferred_element_type=a.dtype
+)
+_outer = lambda a, c: jax.lax.dot_general(  # (S,j)ᵀ x (S,k) -> (j,k)
+    a, c, (((0,), (0,)), ((), ())), preferred_element_type=a.dtype
+)
+
+
+def _unbroadcast(g: Array, shape) -> Array:
+    """Sum-reduce a full-shape gradient back to a broadcastable param shape."""
+    if g.shape == tuple(shape):
+        return g
+    extra = g.ndim - len(shape)
+    if extra:
+        g = g.sum(axis=tuple(range(extra)))
+    axes = tuple(
+        i for i, (gd, sd) in enumerate(zip(g.shape, shape)) if sd == 1 and gd != 1
+    )
+    return g.sum(axis=axes, keepdims=True) if axes else g
+
+
+def _max_grad(a: Array, c, g: Array) -> Array:
+    """Gradient of max(a, c) w.r.t. a, matching jnp.maximum's tie rule
+    (ties split the cotangent evenly)."""
+    return g * ((a > c) + 0.5 * (a == c)).astype(g.dtype)
+
+
+@jax.custom_vjp
+def dladmm_unroll_manual(params, A: Array, b: Array):
+    """K-layer unroll (B = I), final state only, manual-VJP trainable.
+
+    Semantically identical to ``dladmm_forward(params, A, b)`` (pinned by
+    tests); the difference is the backward pass described in the module
+    docstring. Returns (x_K, z_K, lam_K).
+    """
+    (x, z, lam, _), _ = _fwd_scan(params, A, b)
+    return x, z, lam
+
+
+def _layer_fwd(A, b, x, z, lam, Ax, p: LayerParams):
+    beta = jnp.maximum(p.beta, _BETA_MIN)
+    base = z - b + lam * (1.0 / beta)
+    u = Ax + base
+    x1 = shrink(x - _mm(u, p.W1), p.theta1)
+    Ax1 = _mm(x1, A)
+    v = Ax1 + base
+    z1 = shrink(z - _mm(v, p.W2), p.theta2)
+    lam1 = lam + beta * (Ax1 + z1 - b)
+    return x1, z1, lam1, Ax1
+
+
+def _fwd_scan(params, A, b):
+    S = b.shape[0]
+    n = params.W1.shape[1]
+    dt = b.dtype
+    x = jnp.zeros((S, n), dt)
+    z = jnp.zeros_like(b)
+    lam = jnp.zeros_like(b)
+    Ax = jnp.zeros_like(b)
+
+    def body(carry, p: LayerParams):
+        x, z, lam, Ax = carry
+        x1, z1, lam1, Ax1 = _layer_fwd(A, b, x, z, lam, Ax, p)
+        # Residuals: layer-INPUT pieces (lam, Ax, z) + outputs the
+        # backward derives masks/u/v from (x1, z1, Ax1).
+        ys = (lam, Ax, z, x1, z1, Ax1)
+        return (x1, z1, lam1, Ax1), ys
+
+    return jax.lax.scan(body, (x, z, lam, Ax), LayerParams(*params))
+
+
+def _fwd_rule(params, A, b):
+    (x, z, lam, _), traj = _fwd_scan(params, A, b)
+    return (x, z, lam), (params, A, b, traj)
+
+
+def _bwd_rule(res, cts):
+    params, A, b, traj = res
+    gx_out, gz_out, glam_out = cts
+    S, m = b.shape
+    n = params.W1.shape[1]
+    dt = b.dtype
+
+    def body(carry, xs):
+        gx, gz, glam, gAx, gA, gb = carry
+        (lam_in, Ax_in, z_in, x1, z1, Ax1), p = xs
+        beta_raw = p.beta
+        beta = jnp.maximum(beta_raw, _BETA_MIN)
+        ib = 1.0 / beta
+        base = z_in - b + lam_in * ib
+        u = Ax_in + base
+        v = Ax1 + base
+        r1 = Ax1 + z1 - b  # dual residual in lam1 = lam + beta*r1
+
+        # lam1 = lam_in + beta * (Ax1 + z1 - b)
+        glam1 = glam
+        gbeta = jnp.sum(glam1 * r1)
+        gz1 = gz + beta * glam1
+        gAx1 = gAx + beta * glam1
+        glam_in = glam1
+
+        # z1 = shrink(z_in - v @ W2ᵀ, max(theta2, 0))
+        mask2 = (z1 != 0).astype(dt)
+        sign2 = jnp.sign(z1)
+        gp2 = gz1 * mask2
+        gth2 = _max_grad(
+            p.theta2, 0.0, _unbroadcast(-(gp2 * sign2), p.theta2.shape)
+        )
+        gz_in = gp2
+        gv = -_mn(gp2, p.W2)
+        gW2 = -_outer(gp2, v)
+
+        # v = Ax1 + base
+        gAx1 = gAx1 + gv
+        gbase = gv
+
+        # Ax1 = x1 @ Aᵀ
+        gx1 = gx + _mn(gAx1, A)
+        gA = gA + _outer(gAx1, x1)
+
+        # x1 = shrink(x_in - u @ W1ᵀ, max(theta1, 0))
+        mask1 = (x1 != 0).astype(dt)
+        sign1 = jnp.sign(x1)
+        gp1 = gx1 * mask1
+        gth1 = _max_grad(
+            p.theta1, 0.0, _unbroadcast(-(gp1 * sign1), p.theta1.shape)
+        )
+        gx_in = gp1
+        gu = -_mn(gp1, p.W1)
+        gW1 = -_outer(gp1, u)
+
+        # u = Ax_in + base
+        gAx_in = gu
+        gbase = gbase + gu
+
+        # base = z_in - b + lam_in / beta
+        gz_in = gz_in + gbase
+        gb_new = gb - gbase - beta * glam1
+        glam_in = glam_in + gbase * ib
+        gbeta = gbeta - jnp.sum(gbase * lam_in) * ib * ib
+        gbeta_raw = _max_grad(beta_raw, _BETA_MIN, gbeta)
+
+        carry = (gx_in, gz_in, glam_in, gAx_in, gA, gb_new)
+        return carry, LayerParams(gW1, gW2, gth1, gth2, gbeta_raw)
+
+    init = (
+        gx_out,
+        gz_out,
+        glam_out,
+        jnp.zeros((S, m), dt),  # final Ax carry is not an output
+        jnp.zeros((m, n), dt),  # gA accumulator
+        jnp.zeros((S, m), dt),  # gb accumulator
+    )
+    (_, _, _, _, gA, gb), gp = jax.lax.scan(
+        body, init, (traj, LayerParams(*params)), reverse=True
+    )
+    return type(params)(*gp), gA, gb
+
+
+dladmm_unroll_manual.defvjp(_fwd_rule, _bwd_rule)
+
+__all__ = ["dladmm_unroll_manual"]

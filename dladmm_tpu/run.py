@@ -27,6 +27,12 @@ def main(argv=None) -> int:
     )
     ap.add_argument("--layer-loss", choices=["uniform"], default=None)
     ap.add_argument(
+        "--vjp",
+        choices=["auto", "manual", "xla"],
+        default=None,
+        help="backprop path through the unroll (ops/unroll_vjp.py)",
+    )
+    ap.add_argument(
         "--log-jsonl", default=None, help="append per-eval scalar records here"
     )
     ap.add_argument("--plot", default=None, help="save NMSE-vs-layer PNG here")
@@ -40,7 +46,7 @@ def main(argv=None) -> int:
 
     cfg = get_config(args.config)
     overrides = {}
-    for f in ("steps", "batch", "lr", "seed", "kernel"):
+    for f in ("steps", "batch", "lr", "seed", "kernel", "vjp"):
         v = getattr(args, f)
         if v is not None:
             overrides[f] = v
@@ -58,14 +64,19 @@ def main(argv=None) -> int:
     from dladmm_tpu.models.api import select_forward
 
     p = cfg.problem
-    forward_fn, step_fn, desc = select_forward(
-        p.m,
-        p.n,
-        p.m,
-        cfg.train.batch,
-        kernel=cfg.train.kernel,
-        need_trajectory=cfg.train.layer_loss is not None,
-    )
+    if cfg.train.vjp == "manual":
+        # The manual reverse-scan VJP replaces the whole forward+backward;
+        # it is exclusive with megakernel/fused-step forward selection.
+        forward_fn, step_fn, desc = None, None, "manual-vjp-reverse-scan"
+    else:
+        forward_fn, step_fn, desc = select_forward(
+            p.m,
+            p.n,
+            p.m,
+            cfg.train.batch,
+            kernel=cfg.train.kernel,
+            need_trajectory=cfg.train.layer_loss is not None,
+        )
     print(f"kernel path: {desc}", flush=True)
 
     params, history = fit(

@@ -49,6 +49,7 @@ def loss_fn(
     step_fn=None,
     forward_fn=None,
     compute_dtype=None,
+    vjp: str = "auto",
 ) -> Array:
     """MSE to ground truth; final layer only, or gamma-weighted per layer.
 
@@ -60,6 +61,13 @@ def loss_fn(
     params stay fp32 in the optimizer; loss/grads accumulate fp32) —
     halves HBM state traffic on TPU. Quality impact measured in
     BASELINE.md.
+
+    vjp: "auto" (default) uses the hand-written reverse-scan backward
+    (ops/unroll_vjp.py — recomputes u/v/masks from the carry trajectory
+    instead of storing them) whenever it applies: B = I, final-layer
+    loss, default step. "xla" forces autodiff; "manual" asserts the
+    manual path applies. Gradient parity is pinned by
+    tests/test_unroll_vjp.py.
     """
     if compute_dtype is not None:
         cast = lambda t: jax.tree.map(
@@ -71,8 +79,17 @@ def loss_fn(
         params, A, b = cast(params), cast(A), cast(b)
         B = None if B is None else cast(B)
     if layer_weights is None:
+        manual_ok = forward_fn is None and step_fn is None and B is None
+        if vjp == "manual" and not manual_ok:
+            raise ValueError(
+                "vjp='manual' needs B=None, default step, no forward_fn"
+            )
         if forward_fn is not None:
             x, z, _ = forward_fn(params, A, b)
+        elif manual_ok and vjp in ("auto", "manual"):
+            from dladmm_tpu.ops.unroll_vjp import dladmm_unroll_manual
+
+            x, z, _ = dladmm_unroll_manual(params, A, b)
         else:
             x, z, _ = dladmm_forward(params, A, b, B=B, step_fn=step_fn)
         return jnp.mean((x - x_star) ** 2) + jnp.mean((z - z_star) ** 2)
@@ -98,6 +115,7 @@ def make_train_step(
     donate: bool = True,
     compute_dtype=None,
     freeze: tuple = (),
+    vjp: str = "auto",
 ) -> Callable[[TrainState, jax.Array], tuple]:
     """Build the fully fused train step: key -> data -> grad -> update.
 
@@ -123,6 +141,7 @@ def make_train_step(
             step_fn,
             forward_fn,
             compute_dtype,
+            vjp,
         )
         if freeze:
             grads = type(grads)(
@@ -148,6 +167,7 @@ def make_train_step_from_batch(
     step_fn=None,
     forward_fn=None,
     donate: bool = True,
+    vjp: str = "auto",
 ) -> Callable[[TrainState, Any], tuple]:
     """Train step fed an explicit SyntheticBatch (for sharded/multi-host
     runs where the batch is built host-locally and device_put with a
@@ -164,6 +184,8 @@ def make_train_step_from_batch(
             layer_weights,
             step_fn,
             forward_fn,
+            None,
+            vjp,
         )
         updates, opt_state = optimizer.update(
             grads, state.opt_state, state.params
@@ -274,6 +296,7 @@ def fit(
         forward_fn,
         compute_dtype=compute_dtype,
         freeze=tuple(t.freeze),
+        vjp=getattr(t, "vjp", "auto"),
     )
     eval_data = make_batch(
         k_eval, A, t.eval_batch, p.sparsity_x, p.sparsity_e, dtype

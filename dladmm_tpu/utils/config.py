@@ -45,6 +45,10 @@ class TrainConfig:
     # ("beta",) for the paper's fixed-penalty variant.
     freeze: tuple = ()
     dtype: str = "float32"
+    # Backprop through the unroll: "auto" = hand-written reverse-scan VJP
+    # (ops/unroll_vjp.py) when it applies (B=I, final-layer loss),
+    # "xla" = XLA autodiff, "manual" = require the manual path.
+    vjp: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)
