@@ -64,6 +64,30 @@ def main(argv=None) -> int:
     from dladmm_tpu.models.api import select_forward
 
     p = cfg.problem
+    s = cfg.sharding
+    if s.data_axis * s.model_axis > 1:
+        # Sharded presets (tp_large, multihost): DP x TP mesh training
+        # with explicit collectives; final metrics only (no per-layer
+        # curve — see fit_sharded docstring).
+        from dladmm_tpu.train.loop import fit_sharded
+
+        _, history = fit_sharded(cfg, log_fn=logger)
+        last = history[-1]
+        print(
+            f"\nconfig={cfg.name}  steps={cfg.train.steps}  "
+            f"mesh={last['mesh']}"
+        )
+        print(
+            json.dumps(
+                {
+                    "final_nmse_db": last["nmse_db"],
+                    "final_residual": last["residual"],
+                    "mesh": last["mesh"],
+                }
+            )
+        )
+        return 0
+
     if cfg.train.vjp == "manual":
         # The manual reverse-scan VJP replaces the whole forward+backward;
         # it is exclusive with megakernel/fused-step forward selection.

@@ -335,3 +335,114 @@ def fit(
             if ckpt_dir:
                 save_checkpoint(ckpt_dir, state, step=i + 1)
     return state.params, history
+
+
+def fit_sharded(config, A: Optional[Array] = None, log_fn=None):
+    """Sharded training per config.sharding: DP x TP ('data','model')
+    mesh with the explicit-collective step (parallel/collectives.py —
+    one psum of partial A-matvecs per layer for TP, gradient psum for
+    DP). Multi-host when config.sharding.multihost (SURVEY.md §5.5).
+
+    Unlike fit(), batches are built host-locally and device_put with
+    'data'-axis sharding, and evaluation reports final NMSE/residual
+    only (no per-layer curve: the TP-sharded trajectory would have to be
+    gathered — W1 alone is ~10 GB at the tp_large shape).
+
+    Returns (params, history) with params left sharded on the mesh.
+    """
+    from jax.sharding import NamedSharding
+
+    from dladmm_tpu.metrics.core import constraint_residual, nmse_db
+    from dladmm_tpu.models.unroll import init_dladmm_params
+    from dladmm_tpu.parallel import mesh as pmesh
+    from dladmm_tpu.parallel.collectives import (
+        B_SPEC,
+        X_SPEC,
+        Z_SPEC,
+        make_sharded_train_step,
+        sharded_forward,
+    )
+    from dladmm_tpu.parallel.multihost import (
+        host_local_batch,
+        initialize_distributed,
+        make_multihost_mesh,
+    )
+
+    p, t, s = config.problem, config.train, config.sharding
+    if s.multihost:
+        initialize_distributed()
+    n_needed = s.data_axis * s.model_axis
+    if n_needed > jax.device_count():
+        raise RuntimeError(
+            f"config {config.name!r} wants a {s.data_axis}x{s.model_axis} "
+            f"mesh but only {jax.device_count()} device(s) are visible. "
+            "On a single chip, test with a virtual mesh: "
+            "XLA_FLAGS=--xla_force_host_platform_device_count="
+            f"{n_needed} JAX_PLATFORMS=cpu (tests/conftest.py does this)."
+        )
+    if s.multihost and jax.process_count() > 1:
+        mesh = make_multihost_mesh(model=s.model_axis)
+    else:
+        mesh = pmesh.make_mesh(data=s.data_axis, model=s.model_axis)
+
+    key = jax.random.PRNGKey(t.seed)
+    k_dict, k_eval, k_train = jax.random.split(key, 3)
+    dtype = jnp.dtype(t.dtype)
+    if A is None:
+        from dladmm_tpu.data.synthetic import make_dictionary
+
+        A = make_dictionary(k_dict, p.m, p.n, dtype)
+
+    sh = pmesh.param_shardings_tp(mesh)
+    A = jax.device_put(A, sh["A"])
+    params = jax.device_put(
+        init_dladmm_params(A, K=p.K, beta=p.beta, dtype=dtype),
+        sh["params"],
+    )
+    optimizer = optax.adam(t.lr)
+    state = TrainState(
+        params, optimizer.init(params), jnp.zeros((), jnp.int32)
+    )
+    step = make_sharded_train_step(optimizer, mesh)
+
+    def put_batch(key, batch_size):
+        if jax.process_count() > 1:
+            return host_local_batch(
+                key, A, batch_size, mesh, p.sparsity_x, p.sparsity_e
+            )
+        d = make_batch(key, A, batch_size, p.sparsity_x, p.sparsity_e, dtype)
+        put = lambda v, spec: jax.device_put(v, NamedSharding(mesh, spec))
+        return type(d)(
+            b=put(d.b, B_SPEC),
+            x_star=put(d.x_star, X_SPEC),
+            e_star=put(d.e_star, Z_SPEC),
+        )
+
+    eval_data = put_batch(k_eval, t.eval_batch)
+
+    @jax.jit
+    def eval_metrics(params, A, data):
+        x, z, _ = sharded_forward(mesh, params, A, data.b)
+        return (
+            nmse_db(x, data.x_star),
+            constraint_residual(A, data.b, x, z, None),
+        )
+
+    history = []
+    for i in range(t.steps):
+        sub = jax.random.fold_in(k_train, i)
+        state, loss = step(state, A, put_batch(sub, t.batch))
+        if (i + 1) % t.eval_every == 0 or i + 1 == t.steps:
+            nm, res = eval_metrics(state.params, A, eval_data)
+            rec = {
+                "step": i + 1,
+                "loss": float(loss),
+                "nmse_db": float(nm),
+                "residual": float(res),
+                "mesh": f"{mesh.shape[pmesh.DATA_AXIS]}x"
+                f"{mesh.shape[pmesh.MODEL_AXIS]}",
+            }
+            history.append(rec)
+            if log_fn and jax.process_index() == 0:
+                log_fn(rec)
+    return state.params, history

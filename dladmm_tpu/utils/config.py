@@ -79,6 +79,14 @@ PRESETS = {
         problem=ProblemConfig(m=1000, n=2000, K=20),
         train=TrainConfig(batch=1024),
     ),
+    # CPU/virtual-mesh-runnable sharded smoke config (same code path as
+    # tp_large at shapes a laptop or the 8-device virtual mesh can run).
+    "tp_small": Config(
+        name="tp_small",
+        problem=ProblemConfig(m=256, n=512, K=8),
+        train=TrainConfig(batch=128, steps=200, eval_every=50),
+        sharding=ShardingConfig(data_axis=4, model_axis=2),
+    ),
     # BASELINE.json:10 — TP block-partitioned dictionary.
     "tp_large": Config(
         name="tp_large",

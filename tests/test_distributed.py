@@ -123,3 +123,29 @@ def test_sharded_training_improves_nmse():
             first = float(loss)
         last = float(loss)
     assert last < first
+
+
+def test_fit_sharded_end_to_end():
+    """fit_sharded trains the sharded path end-to-end on the virtual
+    mesh and improves NMSE over the first eval."""
+    import dataclasses
+
+    from dladmm_tpu.train.loop import fit_sharded
+    from dladmm_tpu.utils.config import (
+        Config,
+        ProblemConfig,
+        ShardingConfig,
+        TrainConfig,
+    )
+
+    cfg = Config(
+        name="test_sharded",
+        problem=ProblemConfig(m=16, n=32, K=4),
+        train=TrainConfig(batch=16, steps=40, lr=1e-3, eval_every=10,
+                          eval_batch=32),
+        sharding=ShardingConfig(data_axis=4, model_axis=2),
+    )
+    params, history = fit_sharded(cfg)
+    assert history[-1]["mesh"] == "4x2"
+    assert all(jnp.isfinite(h["loss"]) for h in history)
+    assert history[-1]["nmse_db"] < history[0]["nmse_db"], history
