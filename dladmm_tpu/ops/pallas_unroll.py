@@ -167,6 +167,7 @@ def _unroll_traj_kernel(
     tx_ref,  # (1, S, n)
     tz_ref,  # (1, S, d)
     tlam_ref,  # (1, S, m)
+    tax_ref,  # (1, S, m) — Ax carry, consumed by the manual backward
     # scratch: resident working state across all K grid steps
     x_s,
     z_s,
@@ -214,6 +215,63 @@ def _unroll_traj_kernel(
     tx_ref[0] = x1
     tz_ref[0] = z1
     tlam_ref[0] = lam1
+    tax_ref[0] = ax1
+
+
+def _traj_pallas(params, A, b, *, matmul_dtype, interpret):
+    """Run the trajectory megakernel; returns stacked (tx, tz, tlam, tax)
+    of shape (K, S, ·) — the full carry trajectory, which is exactly the
+    residual set the manual backward needs (ops/unroll_vjp.py)."""
+    K, n, m = params.W1.shape
+    d = params.W2.shape[1]
+    S = b.shape[0]
+    th1 = jnp.broadcast_to(
+        params.theta1.reshape(K, 1, -1).astype(b.dtype), (K, 1, n)
+    )
+    th2 = jnp.broadcast_to(
+        params.theta2.reshape(K, 1, -1).astype(b.dtype), (K, 1, d)
+    )
+    beta = params.beta.reshape(K, 1).astype(b.dtype)
+    whole = lambda shape: pl.BlockSpec(
+        shape, lambda k: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    per_layer = lambda *dims: pl.BlockSpec(
+        (1,) + dims,
+        lambda k: (k,) + (0,) * len(dims),
+        memory_space=pltpu.VMEM,
+    )
+    return pl.pallas_call(
+        functools.partial(_unroll_traj_kernel, matmul_dtype=matmul_dtype),
+        grid=(K,),
+        in_specs=[
+            whole((S, m)),
+            whole((m, n)),
+            per_layer(n, m),
+            per_layer(d, m),
+            per_layer(1, n),
+            per_layer(1, d),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            per_layer(S, n),
+            per_layer(S, d),
+            per_layer(S, m),
+            per_layer(S, m),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((K, S, n), b.dtype),
+            jax.ShapeDtypeStruct((K, S, d), b.dtype),
+            jax.ShapeDtypeStruct((K, S, m), b.dtype),
+            jax.ShapeDtypeStruct((K, S, m), b.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((S, n), jnp.float32),
+            pltpu.VMEM((S, d), jnp.float32),
+            pltpu.VMEM((S, m), jnp.float32),
+            pltpu.VMEM((S, m), jnp.float32),
+        ],
+        interpret=interpret,
+    )(b, A, params.W1, params.W2, th1, th2, beta)
 
 
 def make_unrolled_trajectory(
@@ -221,74 +279,45 @@ def make_unrolled_trajectory(
 ):
     """Trajectory-capturing megakernel: (params, A, b) -> stacked
     per-layer (x, z, lam) of shape (K, S, ·) — megakernel speed for the
-    NMSE-vs-layer eval and deep-supervision loss. Exact grads via
-    rematerialized pure-JAX backward."""
+    NMSE-vs-layer eval and deep-supervision loss. Exact grads via the
+    shared manual reverse-scan backward (ops/unroll_vjp.py) fed the
+    kernel's own trajectory — no second forward."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    def _pallas(params, A, b):
-        K, n, m = params.W1.shape
-        d = params.W2.shape[1]
-        S = b.shape[0]
-        th1 = jnp.broadcast_to(
-            params.theta1.reshape(K, 1, -1).astype(b.dtype), (K, 1, n)
-        )
-        th2 = jnp.broadcast_to(
-            params.theta2.reshape(K, 1, -1).astype(b.dtype), (K, 1, d)
-        )
-        beta = params.beta.reshape(K, 1).astype(b.dtype)
-        whole = lambda shape: pl.BlockSpec(
-            shape, lambda k: (0,) * len(shape), memory_space=pltpu.VMEM
-        )
-        per_layer = lambda *dims: pl.BlockSpec(
-            (1,) + dims,
-            lambda k: (k,) + (0,) * len(dims),
-            memory_space=pltpu.VMEM,
-        )
-        return pl.pallas_call(
-            functools.partial(_unroll_traj_kernel, matmul_dtype=matmul_dtype),
-            grid=(K,),
-            in_specs=[
-                whole((S, m)),
-                whole((m, n)),
-                per_layer(n, m),
-                per_layer(d, m),
-                per_layer(1, n),
-                per_layer(1, d),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-            ],
-            out_specs=[per_layer(S, n), per_layer(S, d), per_layer(S, m)],
-            out_shape=[
-                jax.ShapeDtypeStruct((K, S, n), b.dtype),
-                jax.ShapeDtypeStruct((K, S, d), b.dtype),
-                jax.ShapeDtypeStruct((K, S, m), b.dtype),
-            ],
-            scratch_shapes=[
-                pltpu.VMEM((S, n), jnp.float32),
-                pltpu.VMEM((S, d), jnp.float32),
-                pltpu.VMEM((S, m), jnp.float32),
-                pltpu.VMEM((S, m), jnp.float32),
-            ],
-            interpret=interpret,
-        )(b, A, params.W1, params.W2, th1, th2, beta)
-
-    def _ref_traj(params, A, b):
-        from dladmm_tpu.models.unroll import dladmm_forward
-
-        _, traj = dladmm_forward(params, A, b, capture_trajectory=True)
-        return traj
-
     @jax.custom_vjp
     def trajectory(params, A, b):
-        return tuple(_pallas(params, A, b))
+        tx, tz, tlam, _ = _traj_pallas(
+            params, A, b, matmul_dtype=matmul_dtype, interpret=interpret
+        )
+        return tx, tz, tlam
 
     def fwd(params, A, b):
-        return trajectory(params, A, b), (params, A, b)
+        tx, tz, tlam, tax = _traj_pallas(
+            params, A, b, matmul_dtype=matmul_dtype, interpret=interpret
+        )
+        return (tx, tz, tlam), (params, A, b, (tx, tz, tlam, tax))
 
     def bwd(res, cts):
-        params, A, b = res
-        _, vjp = jax.vjp(_ref_traj, params, A, b)
-        return vjp(cts)
+        from dladmm_tpu.ops.unroll_vjp import (
+            bwd_from_carries,
+            shifted_residuals,
+        )
+
+        params, A, b, (tx, tz, tlam, tax) = res
+        zeros = (
+            jnp.zeros_like(tx[-1]),
+            jnp.zeros_like(tz[-1]),
+            jnp.zeros_like(tlam[-1]),
+        )
+        return bwd_from_carries(
+            params,
+            A,
+            b,
+            shifted_residuals(tx, tz, tlam, tax),
+            zeros,
+            traj_cts=cts,
+        )
 
     trajectory.defvjp(fwd, bwd)
     return trajectory
@@ -296,17 +325,17 @@ def make_unrolled_trajectory(
 
 def make_unrolled_forward(matmul_dtype=None, interpret: Optional[bool] = None):
     """Returns forward(params, A, b) -> (x_K, z_K, lam_K) running the
-    whole-unroll megakernel, with exact gradients via a rematerialized
-    pure-JAX backward (custom_vjp). B = I only; no trajectory capture —
-    use models.unroll.dladmm_forward for those cases.
+    whole-unroll megakernel. B = I only.
+
+    Backward (custom_vjp): the VJP forward runs the trajectory variant of
+    the kernel, and the gradient is the manual reverse-scan backward
+    (ops/unroll_vjp.py) consuming that trajectory — the Pallas forward
+    needs no rematerialization and XLA autodiff never sees the kernel.
+    Inference (no grad) uses the trajectory-free kernel: state never
+    leaves VMEM.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-
-    def _ref_forward(params, A, b):
-        from dladmm_tpu.models.unroll import dladmm_forward
-
-        return dladmm_forward(params, A, b)
 
     @jax.custom_vjp
     def forward(params, A, b):
@@ -315,12 +344,22 @@ def make_unrolled_forward(matmul_dtype=None, interpret: Optional[bool] = None):
         )
 
     def fwd(params, A, b):
-        return forward(params, A, b), (params, A, b)
+        tx, tz, tlam, tax = _traj_pallas(
+            params, A, b, matmul_dtype=matmul_dtype, interpret=interpret
+        )
+        out = (tx[-1], tz[-1], tlam[-1])
+        return out, (params, A, b, (tx, tz, tlam, tax))
 
     def bwd(res, cts):
-        params, A, b = res
-        _, vjp = jax.vjp(_ref_forward, params, A, b)
-        return vjp(cts)
+        from dladmm_tpu.ops.unroll_vjp import (
+            bwd_from_carries,
+            shifted_residuals,
+        )
+
+        params, A, b, (tx, tz, tlam, tax) = res
+        return bwd_from_carries(
+            params, A, b, shifted_residuals(tx, tz, tlam, tax), cts
+        )
 
     forward.defvjp(fwd, bwd)
     return forward

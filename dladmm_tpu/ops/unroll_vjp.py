@@ -10,18 +10,29 @@ But the D-LADMM layer's backward needs far less: every intermediate is
     v_k   = Ax_{k+1} + z_k - b + lam_k/beta   (Ax_{k+1} is the NEXT carry)
     shrink masks/signs = support/sign of x_{k+1}, z_{k+1}  (outputs!)
 
-So this module stores only the (x, z, lam, Ax) trajectory in the forward
-scan and runs a reverse ``lax.scan`` that rebuilds u, v, and the shrink
-masks on the fly. All matmuls (the 6 backward contractions per layer)
-stay ordinary dot_generals on the MXU — no Pallas required; the win is
-pure residual-traffic elimination. Exactness vs ``jax.grad`` of the
-golden op is pinned by tests/test_unroll_vjp.py.
+So this module runs a reverse ``lax.scan`` that rebuilds u, v, and the
+shrink masks on the fly from the (x, z, lam, Ax) trajectory. All matmuls
+(the 6 backward contractions per layer) stay ordinary dot_generals on the
+MXU — no Pallas needed; the win is pure residual-traffic elimination.
+The same backward core (``bwd_from_carries``) serves three callers:
 
-B = I fast path only (both reference benchmarks; SURVEY.md §2 point 4).
-General B falls back to XLA autodiff in train/loop.py.
+  * ``dladmm_unroll_manual``      — XLA-scan forward, final-state loss
+    (the default training path; train/loop.py vjp="auto").
+  * the whole-unroll Pallas megakernel's custom_vjp
+    (ops/pallas_unroll.py) — the trajectory comes out of the kernel, so
+    training needs NO rematerialized second forward.
+  * trajectory/deep-supervision training — optional per-layer cotangents
+    are folded in as the reverse scan passes each layer.
+
+Exactness vs ``jax.grad`` of the golden op is pinned by
+tests/test_unroll_vjp.py. B = I fast path only (both reference
+benchmarks; SURVEY.md §2 point 4) — general B falls back to XLA autodiff
+in train/loop.py.
 """
 
 from __future__ import annotations
+
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -59,65 +70,42 @@ def _max_grad(a: Array, c, g: Array) -> Array:
     return g * ((a > c) + 0.5 * (a == c)).astype(g.dtype)
 
 
-@jax.custom_vjp
-def dladmm_unroll_manual(params, A: Array, b: Array):
-    """K-layer unroll (B = I), final state only, manual-VJP trainable.
+def bwd_from_carries(
+    params,
+    A: Array,
+    b: Array,
+    resid,
+    final_cts: Tuple[Array, Array, Array],
+    traj_cts: Optional[Tuple[Array, Array, Array]] = None,
+):
+    """Reverse-scan backward from per-layer residuals.
 
-    Semantically identical to ``dladmm_forward(params, A, b)`` (pinned by
-    tests); the difference is the backward pass described in the module
-    docstring. Returns (x_K, z_K, lam_K).
+    resid: 6-tuple of (K, ...)-stacked arrays
+      (lam_in, Ax_in, z_in, x1, z1, Ax1) — layer k's input pieces and
+      outputs. Use ``shifted_residuals`` to build this from a plain
+      (x, z, lam, Ax) output trajectory.
+    final_cts: cotangents (gx, gz, glam) of the final state.
+    traj_cts: optional per-layer cotangents on each layer's
+      (x_k, z_k, lam_k) stacks (deep supervision / trajectory loss).
+
+    Returns (gparams, gA, gb) — the unused ones (A and b are data) are
+    dead-code-eliminated by XLA when the caller never consumes them.
     """
-    (x, z, lam, _), _ = _fwd_scan(params, A, b)
-    return x, z, lam
-
-
-def _layer_fwd(A, b, x, z, lam, Ax, p: LayerParams):
-    beta = jnp.maximum(p.beta, _BETA_MIN)
-    base = z - b + lam * (1.0 / beta)
-    u = Ax + base
-    x1 = shrink(x - _mm(u, p.W1), p.theta1)
-    Ax1 = _mm(x1, A)
-    v = Ax1 + base
-    z1 = shrink(z - _mm(v, p.W2), p.theta2)
-    lam1 = lam + beta * (Ax1 + z1 - b)
-    return x1, z1, lam1, Ax1
-
-
-def _fwd_scan(params, A, b):
-    S = b.shape[0]
-    n = params.W1.shape[1]
-    dt = b.dtype
-    x = jnp.zeros((S, n), dt)
-    z = jnp.zeros_like(b)
-    lam = jnp.zeros_like(b)
-    Ax = jnp.zeros_like(b)
-
-    def body(carry, p: LayerParams):
-        x, z, lam, Ax = carry
-        x1, z1, lam1, Ax1 = _layer_fwd(A, b, x, z, lam, Ax, p)
-        # Residuals: layer-INPUT pieces (lam, Ax, z) + outputs the
-        # backward derives masks/u/v from (x1, z1, Ax1).
-        ys = (lam, Ax, z, x1, z1, Ax1)
-        return (x1, z1, lam1, Ax1), ys
-
-    return jax.lax.scan(body, (x, z, lam, Ax), LayerParams(*params))
-
-
-def _fwd_rule(params, A, b):
-    (x, z, lam, _), traj = _fwd_scan(params, A, b)
-    return (x, z, lam), (params, A, b, traj)
-
-
-def _bwd_rule(res, cts):
-    params, A, b, traj = res
-    gx_out, gz_out, glam_out = cts
+    gx_out, gz_out, glam_out = final_cts
     S, m = b.shape
     n = params.W1.shape[1]
     dt = b.dtype
 
     def body(carry, xs):
         gx, gz, glam, gAx, gA, gb = carry
-        (lam_in, Ax_in, z_in, x1, z1, Ax1), p = xs
+        if traj_cts is None:
+            (lam_in, Ax_in, z_in, x1, z1, Ax1), p = xs
+        else:
+            (lam_in, Ax_in, z_in, x1, z1, Ax1), p, (ctx, ctz, ctlam) = xs
+            # This layer's outputs also feed the loss directly.
+            gx = gx + ctx
+            gz = gz + ctz
+            glam = glam + ctlam
         beta_raw = p.beta
         beta = jnp.maximum(beta_raw, _BETA_MIN)
         ib = 1.0 / beta
@@ -185,12 +173,79 @@ def _bwd_rule(res, cts):
         jnp.zeros((m, n), dt),  # gA accumulator
         jnp.zeros((S, m), dt),  # gb accumulator
     )
-    (_, _, _, _, gA, gb), gp = jax.lax.scan(
-        body, init, (traj, LayerParams(*params)), reverse=True
-    )
+    xs = (resid, LayerParams(*params))
+    if traj_cts is not None:
+        xs = xs + (traj_cts,)
+    (_, _, _, _, gA, gb), gp = jax.lax.scan(body, init, xs, reverse=True)
     return type(params)(*gp), gA, gb
+
+
+def shifted_residuals(tx: Array, tz: Array, tlam: Array, tax: Array):
+    """Build bwd_from_carries residuals from an output trajectory: layer
+    k's inputs are layer k-1's outputs (zeros for k=0)."""
+    shift = lambda t: jnp.concatenate([jnp.zeros_like(t[:1]), t[:-1]])
+    return (shift(tlam), shift(tax), shift(tz), tx, tz, tax)
+
+
+@jax.custom_vjp
+def dladmm_unroll_manual(params, A: Array, b: Array):
+    """K-layer unroll (B = I), final state only, manual-VJP trainable.
+
+    Semantically identical to ``dladmm_forward(params, A, b)`` (pinned by
+    tests); the difference is the backward pass described in the module
+    docstring. Returns (x_K, z_K, lam_K).
+    """
+    (x, z, lam, _), _ = _fwd_scan(params, A, b)
+    return x, z, lam
+
+
+def _layer_fwd(A, b, x, z, lam, Ax, p: LayerParams):
+    beta = jnp.maximum(p.beta, _BETA_MIN)
+    base = z - b + lam * (1.0 / beta)
+    u = Ax + base
+    x1 = shrink(x - _mm(u, p.W1), p.theta1)
+    Ax1 = _mm(x1, A)
+    v = Ax1 + base
+    z1 = shrink(z - _mm(v, p.W2), p.theta2)
+    lam1 = lam + beta * (Ax1 + z1 - b)
+    return x1, z1, lam1, Ax1
+
+
+def _fwd_scan(params, A, b):
+    S = b.shape[0]
+    n = params.W1.shape[1]
+    dt = b.dtype
+    x = jnp.zeros((S, n), dt)
+    z = jnp.zeros_like(b)
+    lam = jnp.zeros_like(b)
+    Ax = jnp.zeros_like(b)
+
+    def body(carry, p: LayerParams):
+        x, z, lam, Ax = carry
+        x1, z1, lam1, Ax1 = _layer_fwd(A, b, x, z, lam, Ax, p)
+        # Residuals emitted directly in bwd layout (input pieces +
+        # outputs) — avoids the shift-copy of shifted_residuals on the
+        # hot training path.
+        ys = (lam, Ax, z, x1, z1, Ax1)
+        return (x1, z1, lam1, Ax1), ys
+
+    return jax.lax.scan(body, (x, z, lam, Ax), LayerParams(*params))
+
+
+def _fwd_rule(params, A, b):
+    (x, z, lam, _), traj = _fwd_scan(params, A, b)
+    return (x, z, lam), (params, A, b, traj)
+
+
+def _bwd_rule(res, cts):
+    params, A, b, traj = res
+    return bwd_from_carries(params, A, b, traj, cts)
 
 
 dladmm_unroll_manual.defvjp(_fwd_rule, _bwd_rule)
 
-__all__ = ["dladmm_unroll_manual"]
+__all__ = [
+    "dladmm_unroll_manual",
+    "bwd_from_carries",
+    "shifted_residuals",
+]
