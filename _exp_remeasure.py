@@ -1,0 +1,59 @@
+import time, json
+import jax, jax.numpy as jnp, optax
+from dladmm_tpu.data.synthetic import make_batch, make_dictionary
+from dladmm_tpu.models.unroll import init_dladmm_params, dladmm_forward
+from dladmm_tpu.ops.pallas_unroll import make_unrolled_forward, unroll_fits_vmem
+from dladmm_tpu.ops.unroll_vjp import dladmm_unroll_manual
+
+def cal(step, carry0, hi=64):
+    lo = hi // 4
+    def run_n(iters):
+        @jax.jit
+        def run(c):
+            c = jax.lax.fori_loop(0, iters, lambda _, s: step(s), c)
+            return jnp.sum(jax.flatten_util.ravel_pytree(c)[0][:8])
+        float(run(carry0))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter(); float(run(carry0))
+            best = min(best, time.perf_counter()-t0)
+        return best
+    return (run_n(hi) - run_n(lo)) / (hi - lo) * 1e3
+
+res = {}
+# ---- forward, flagship
+m, n, K, S = 1000, 2000, 20, 1024
+key = jax.random.PRNGKey(0)
+kA, kb = jax.random.split(key)
+A = make_dictionary(kA, m, n)
+params = init_dladmm_params(A, K=K)
+data = make_batch(kb, A, S)
+
+def fwd_step(fwd, A_, p):
+    def step(b):
+        x, z, lam = fwd(p, A_, b)
+        return data.b.astype(b.dtype) + 1e-12 * lam
+    return step
+
+res["flagship_fwd_fp32"] = cal(fwd_step(lambda p,A_,b: dladmm_forward(p,A_,b), A, params), data.b)
+with jax.default_matmul_precision("float32"):
+    pass
+def fwd_fp32mm(p, A_, b):
+    with jax.default_matmul_precision("float32"):
+        return dladmm_forward(p, A_, b)
+res["flagship_fwd_fp32matmul"] = cal(fwd_step(fwd_fp32mm, A, params), data.b)
+
+# ---- forward, reference config incl megakernel
+for (m2, n2, K2, S2) in [(250, 500, 15, 64), (250, 500, 15, 1024)]:
+    A2 = make_dictionary(kA, m2, n2)
+    p2 = init_dladmm_params(A2, K=K2)
+    d2 = make_batch(kb, A2, S2)
+    def fs(fwd):
+        def step(b):
+            x, z, lam = fwd(p2, A2, b)
+            return d2.b + 1e-12 * lam
+        return step
+    res[f"ref{S2}_fwd_xla"] = cal(fs(lambda p,A_,b: dladmm_forward(p2,A2,b)), d2.b, hi=256)
+    mk = make_unrolled_forward()
+    res[f"ref{S2}_fwd_megakernel"] = cal(fs(mk), d2.b, hi=256)
+print(json.dumps({k: round(v,3) for k,v in res.items()}, indent=1))

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import optax
 
 
-def _chained_train_time(step, state0, iters=8, repeats=3):
+def _run_chain(step, state0, iters, repeats=3):
     @jax.jit
     def run(state):
         state = jax.lax.fori_loop(0, iters, lambda _, s: step(s), state)
@@ -38,7 +38,17 @@ def _chained_train_time(step, state0, iters=8, repeats=3):
         t0 = time.perf_counter()
         float(run(state0))
         best = min(best, time.perf_counter() - t0)
-    return best / iters
+    return best
+
+
+def _chained_train_time(step, state0, iters=32):
+    """Two-point calibrated: the ~26 ms relay RTT is paid once per
+    dispatch regardless of iters, so the slope between a short and a
+    long chain is the true per-step device time (bench/timing.py)."""
+    lo = iters // 4
+    t_lo = _run_chain(step, state0, lo)
+    t_hi = _run_chain(step, state0, iters)
+    return (t_hi - t_lo) / (iters - lo)
 
 
 def main() -> None:

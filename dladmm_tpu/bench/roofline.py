@@ -27,15 +27,28 @@ HBM_GBPS = 819.0
 
 
 def _chained(f, init, iters):
-    @jax.jit
-    def run(c):
-        c = jax.lax.fori_loop(0, iters, lambda _, cc: f(cc), c)
-        return jnp.sum(c[:8, :8])
+    """Two-point calibrated per-iteration time: the relay dispatch RTT
+    (~26 ms) is fixed per jit call, so the slope between a short and a
+    long chain cancels it exactly (bench/timing.py)."""
 
-    float(run(init))
-    t0 = time.perf_counter()
-    float(run(init))
-    return (time.perf_counter() - t0) / iters
+    def run_n(n_iters):
+        @jax.jit
+        def run(c):
+            c = jax.lax.fori_loop(
+                0, n_iters, lambda _, cc: init + 1e-12 * f(cc), c
+            )
+            return jnp.sum(c[:8, :8])
+
+        float(run(init))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(run(init))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    lo = max(1, iters // 4)
+    return (run_n(iters) - run_n(lo)) / (iters - lo)
 
 
 def analyze(m, n, K, S, paths=("reference", "megakernel"), iters=50):
@@ -95,10 +108,12 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--out", default=None)
     args = ap.parse_args(argv)
+    # Chain lengths sized so the long chain runs 30+ ms of device time —
+    # far above the relay's per-dispatch noise floor (bench/timing.py).
     results = [
-        analyze(250, 500, 15, 64, iters=100),
-        analyze(250, 500, 15, 1024, iters=50),
-        analyze(1000, 2000, 20, 1024, paths=("reference",), iters=20),
+        analyze(250, 500, 15, 64, iters=2000),
+        analyze(250, 500, 15, 1024, iters=400),
+        analyze(1000, 2000, 20, 1024, paths=("reference",), iters=48),
     ]
     out = json.dumps(results, indent=2)
     print(out)

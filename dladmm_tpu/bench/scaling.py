@@ -64,19 +64,28 @@ def measure_dp_scaling(mesh_shapes, m=250, n=500, K=15, per_device_batch=64,
         )
         step = make_sharded_train_step(optimizer, mesh)
 
-        # Chained timing (bench/timing.py rationale).
-        def chained(state):
-            def body(_, s):
-                s2, _ = step(s, A_s, batch)
-                return s2
-            s = jax.lax.fori_loop(0, iters, body, state)
-            return jnp.sum(s.params.beta)
+        # Two-point calibrated chained timing (bench/timing.py rationale:
+        # the slope between chain lengths cancels fixed dispatch cost).
+        def run_n(n_iters):
+            @jax.jit
+            def chained(state):
+                def body(_, s):
+                    s2, _ = step(s, A_s, batch)
+                    return s2
 
-        run = jax.jit(chained)
-        float(run(state))
-        t0 = time.perf_counter()
-        float(run(state))
-        dt = (time.perf_counter() - t0) / iters
+                s = jax.lax.fori_loop(0, n_iters, body, state)
+                return jnp.sum(s.params.beta)
+
+            float(chained(state))
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                float(chained(state))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        lo = max(1, iters // 4)
+        dt = (run_n(iters) - run_n(lo)) / (iters - lo)
         rate = K * S / dt
         if base_rate is None:
             base_rate = rate / dp  # per-device at first config
