@@ -351,12 +351,22 @@ def make_unrolled_forward(matmul_dtype=None, interpret: Optional[bool] = None):
         return out, (params, A, b, (tx, tz, tlam, tax))
 
     def bwd(res, cts):
+        params, A, b, (tx, tz, tlam, tax) = res
+        K, n, m = params.W1.shape
+        d = params.W2.shape[1]
+        from dladmm_tpu.ops.pallas_bwd import bwd_fits_vmem, unroll_bwd_pallas
+
+        if bwd_fits_vmem(m, n, d, b.shape[0], b.dtype.itemsize):
+            # Full Pallas training step: cotangent state VMEM-resident
+            # across the whole reverse sweep (ops/pallas_bwd.py).
+            return unroll_bwd_pallas(
+                params, A, b, (tx, tz, tlam, tax), cts, interpret=interpret
+            )
         from dladmm_tpu.ops.unroll_vjp import (
             bwd_from_carries,
             shifted_residuals,
         )
 
-        params, A, b, (tx, tz, tlam, tax) = res
         return bwd_from_carries(
             params, A, b, shifted_residuals(tx, tz, tlam, tax), cts
         )
