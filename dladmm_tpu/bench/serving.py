@@ -1,0 +1,110 @@
+"""Serving latency/throughput bench (SURVEY.md N9; serve.py path).
+
+``python -m dladmm_tpu.bench.serving [--out serving.json]``
+
+Reports calibrated ON-DEVICE solve latency per batch bucket (what a
+host-local client sees; the sandbox relay's ~26 ms RPC round-trip is a
+sandbox artifact, reported separately as dispatch_overhead_ms) and the
+resulting throughput, for the trained reference-shape solver.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def _cal_latency(fn, args, hi=256):
+    """Calibrated seconds per call: slope between chain lengths
+    (bench/timing.py rationale). fn must map b -> (x, z)."""
+    b0 = args
+
+    def run_n(iters):
+        @jax.jit
+        def run(b):
+            def body(_, b):
+                x, z = fn(b)  # z is (S, d=m) at B=I — same shape as b
+                return b0 + 1e-12 * z
+
+            return jnp.sum(jax.lax.fori_loop(0, iters, body, b)[:8, :8])
+
+        float(run(b0))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(run(b0))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    lo = max(1, hi // 4)
+    for attempt in range(4):
+        slope = (run_n(hi) - run_n(lo)) / (hi - lo)
+        if slope > 0:
+            return slope
+        hi *= 2  # chain too short vs shared-chip noise; lengthen
+        lo = hi // 4
+    raise RuntimeError("could not get a positive calibrated slope")
+
+
+def measure(m=250, n=500, K=15, buckets=(1, 8, 64, 256), kernel="auto"):
+    from dladmm_tpu.data.synthetic import make_batch, make_dictionary
+    from dladmm_tpu.models.api import select_forward
+    from dladmm_tpu.models.unroll import dladmm_forward, init_dladmm_params
+
+    key = jax.random.PRNGKey(0)
+    kA, kb = jax.random.split(key)
+    A = make_dictionary(kA, m, n)
+    params = init_dladmm_params(A, K=K)
+
+    # Dispatch overhead: one tiny jitted call, wall-clock (the relay RTT).
+    tiny = jax.jit(lambda v: v + 1.0)
+    float(tiny(jnp.zeros(())))
+    t0 = time.perf_counter()
+    float(tiny(jnp.zeros(())))
+    dispatch_ms = (time.perf_counter() - t0) * 1e3
+
+    rows = []
+    for S in buckets:
+        data = make_batch(kb, A, S)
+        forward_fn, step_fn, desc = select_forward(m, n, m, S, kernel=kernel)
+        if forward_fn is None:
+            forward_fn = lambda p, A_, b_, _sf=step_fn: dladmm_forward(
+                p, A_, b_, step_fn=_sf
+            )
+        fn = lambda b: forward_fn(params, A, b)[:2]
+        t = _cal_latency(fn, data.b, hi=512)
+        rows.append(
+            {
+                "bucket": S,
+                "path": desc,
+                "device_latency_us": round(t * 1e6, 1),
+                "throughput_solves_per_s": round(S / t, 1),
+            }
+        )
+    return {
+        "shape": f"A {m}x{n}, K={K}",
+        "dispatch_overhead_ms": round(dispatch_ms, 1),
+        "buckets": rows,
+    }
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args(argv)
+    result = measure()
+    out = json.dumps(result, indent=2)
+    print(out)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(out + "\n")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
