@@ -26,29 +26,14 @@ import jax.numpy as jnp
 import optax
 
 
-def _run_chain(step, state0, iters, repeats=3):
-    @jax.jit
-    def run(state):
-        state = jax.lax.fori_loop(0, iters, lambda _, s: step(s), state)
-        return jnp.sum(state.params.beta)
-
-    float(run(state0))  # compile + warm
-    best = float("inf")
-    for _ in range(repeats):  # best-of-N: the relay chip is shared/noisy
-        t0 = time.perf_counter()
-        float(run(state0))
-        best = min(best, time.perf_counter() - t0)
-    return best
-
-
 def _chained_train_time(step, state0, iters=32):
     """Two-point calibrated: the ~26 ms relay RTT is paid once per
     dispatch regardless of iters, so the slope between a short and a
-    long chain is the true per-step device time (bench/timing.py)."""
-    lo = iters // 4
-    t_lo = _run_chain(step, state0, lo)
-    t_hi = _run_chain(step, state0, iters)
-    return (t_hi - t_lo) / (iters - lo)
+    long chain is the true per-step device time (bench/timing.py, the
+    single shared implementation with a non-positive-slope guard)."""
+    from dladmm_tpu.bench.timing import time_chained
+
+    return time_chained(step, state0, iters=iters)
 
 
 def main() -> None:

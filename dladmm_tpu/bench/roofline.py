@@ -15,7 +15,6 @@ from __future__ import annotations
 import argparse
 import json
 import sys
-import time
 
 import jax
 import jax.numpy as jnp
@@ -27,28 +26,12 @@ HBM_GBPS = 819.0
 
 
 def _chained(f, init, iters):
-    """Two-point calibrated per-iteration time: the relay dispatch RTT
-    (~26 ms) is fixed per jit call, so the slope between a short and a
-    long chain cancels it exactly (bench/timing.py)."""
+    """Two-point calibrated per-iteration time via the shared
+    bench/timing.py implementation (slope cancels the relay RTT; guards
+    against non-positive slopes by lengthening the chain)."""
+    from dladmm_tpu.bench.timing import time_chained
 
-    def run_n(n_iters):
-        @jax.jit
-        def run(c):
-            c = jax.lax.fori_loop(
-                0, n_iters, lambda _, cc: init + 1e-12 * f(cc), c
-            )
-            return jnp.sum(c[:8, :8])
-
-        float(run(init))
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            float(run(init))
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    lo = max(1, iters // 4)
-    return (run_n(iters) - run_n(lo)) / (iters - lo)
+    return time_chained(lambda c: init + 1e-12 * f(c), init, iters=iters)
 
 
 def analyze(m, n, K, S, paths=("reference", "megakernel"), iters=50):

@@ -15,7 +15,6 @@ from __future__ import annotations
 import argparse
 import json
 import sys
-import time
 
 import jax
 import jax.numpy as jnp
@@ -64,28 +63,14 @@ def measure_dp_scaling(mesh_shapes, m=250, n=500, K=15, per_device_batch=64,
         )
         step = make_sharded_train_step(optimizer, mesh)
 
-        # Two-point calibrated chained timing (bench/timing.py rationale:
-        # the slope between chain lengths cancels fixed dispatch cost).
-        def run_n(n_iters):
-            @jax.jit
-            def chained(state):
-                def body(_, s):
-                    s2, _ = step(s, A_s, batch)
-                    return s2
+        # Two-point calibrated chained timing via the shared
+        # bench/timing.py implementation (slope cancels dispatch cost,
+        # guarded against non-positive slopes).
+        from dladmm_tpu.bench.timing import time_chained
 
-                s = jax.lax.fori_loop(0, n_iters, body, state)
-                return jnp.sum(s.params.beta)
-
-            float(chained(state))
-            best = float("inf")
-            for _ in range(2):
-                t0 = time.perf_counter()
-                float(chained(state))
-                best = min(best, time.perf_counter() - t0)
-            return best
-
-        lo = max(1, iters // 4)
-        dt = (run_n(iters) - run_n(lo)) / (iters - lo)
+        dt = time_chained(
+            lambda s: step(s, A_s, batch)[0], state, iters=iters
+        )
         rate = K * S / dt
         if base_rate is None:
             base_rate = rate / dp  # per-device at first config

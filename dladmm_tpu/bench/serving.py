@@ -20,35 +20,12 @@ import jax.numpy as jnp
 
 
 def _cal_latency(fn, args, hi=256):
-    """Calibrated seconds per call: slope between chain lengths
-    (bench/timing.py rationale). fn must map b -> (x, z)."""
+    """Calibrated seconds per call via the shared bench/timing.py
+    implementation. fn must map b -> (x, z); z is (S, d=m) at B=I."""
+    from dladmm_tpu.bench.timing import time_chained
+
     b0 = args
-
-    def run_n(iters):
-        @jax.jit
-        def run(b):
-            def body(_, b):
-                x, z = fn(b)  # z is (S, d=m) at B=I — same shape as b
-                return b0 + 1e-12 * z
-
-            return jnp.sum(jax.lax.fori_loop(0, iters, body, b)[:8, :8])
-
-        float(run(b0))
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            float(run(b0))
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    lo = max(1, hi // 4)
-    for attempt in range(4):
-        slope = (run_n(hi) - run_n(lo)) / (hi - lo)
-        if slope > 0:
-            return slope
-        hi *= 2  # chain too short vs shared-chip noise; lengthen
-        lo = hi // 4
-    raise RuntimeError("could not get a positive calibrated slope")
+    return time_chained(lambda b: b0 + 1e-12 * fn(b)[1], b0, iters=hi)
 
 
 def measure(m=250, n=500, K=15, buckets=(1, 8, 64, 256), kernel="auto"):

@@ -67,7 +67,17 @@ def time_chained(
     del warmup
     if not calibrate:
         return _run_chained(step, init_carry, iters, repeats) / iters
-    lo = max(1, iters // 4)
-    t_lo = _run_chained(step, init_carry, lo, repeats)
-    t_hi = _run_chained(step, init_carry, iters, repeats)
-    return max((t_hi - t_lo) / (iters - lo), 1e-9)
+    # Relay noise can make a short pair non-monotone; lengthen the chain
+    # until the slope is positive (every caller gets this guard).
+    for _ in range(4):
+        lo = max(1, iters // 4)
+        t_lo = _run_chained(step, init_carry, lo, repeats)
+        t_hi = _run_chained(step, init_carry, iters, repeats)
+        slope = (t_hi - t_lo) / (iters - lo)
+        if slope > 0:
+            return slope
+        iters *= 2
+    raise RuntimeError(
+        "calibrated timing: no positive slope after lengthening chains "
+        "(relay too noisy or step too fast)"
+    )

@@ -53,6 +53,7 @@ def host_local_batch(
     mesh: Mesh,
     sparsity_x: float = 0.1,
     sparsity_e: float = 0.1,
+    dtype=jnp.float32,
 ) -> SyntheticBatch:
     """Build this host's slice of a deterministic global batch and
     assemble globally-sharded arrays (SURVEY.md §9.4:
@@ -68,7 +69,7 @@ def host_local_batch(
         raise ValueError(f"global_batch {global_batch} % {nproc} != 0")
     local = global_batch // nproc
     local_key = jax.random.fold_in(key, pid)
-    data = make_batch(local_key, A, local, sparsity_x, sparsity_e)
+    data = make_batch(local_key, A, local, sparsity_x, sparsity_e, dtype)
 
     n = A.shape[1]
     specs = SyntheticBatch(

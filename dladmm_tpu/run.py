@@ -69,6 +69,21 @@ def main(argv=None) -> int:
         # Sharded presets (tp_large, multihost): DP x TP mesh training
         # with explicit collectives; final metrics only (no per-layer
         # curve — see fit_sharded docstring).
+        unsupported = {
+            "--ckpt-dir": args.ckpt_dir,
+            "--resume": args.resume or None,
+            "--plot": args.plot,
+            "--layer-loss": args.layer_loss,
+            "--kernel": args.kernel,
+            "--vjp": args.vjp,
+        }
+        bad = [k for k, v in unsupported.items() if v]
+        if bad:
+            ap.error(
+                f"{', '.join(bad)} not supported with sharded configs "
+                f"(config {cfg.name!r} has a "
+                f"{s.data_axis}x{s.model_axis} mesh)"
+            )
         from dladmm_tpu.train.loop import fit_sharded
 
         _, history = fit_sharded(cfg, log_fn=logger)

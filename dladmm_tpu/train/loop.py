@@ -78,12 +78,18 @@ def loss_fn(
         )
         params, A, b = cast(params), cast(A), cast(b)
         B = None if B is None else cast(B)
+    manual_ok = (
+        forward_fn is None
+        and step_fn is None
+        and B is None
+        and layer_weights is None
+    )
+    if vjp == "manual" and not manual_ok:
+        raise ValueError(
+            "vjp='manual' needs B=None, default step, no forward_fn, "
+            "final-layer loss (no layer_weights)"
+        )
     if layer_weights is None:
-        manual_ok = forward_fn is None and step_fn is None and B is None
-        if vjp == "manual" and not manual_ok:
-            raise ValueError(
-                "vjp='manual' needs B=None, default step, no forward_fn"
-            )
         if forward_fn is not None:
             x, z, _ = forward_fn(params, A, b)
         elif manual_ok and vjp in ("auto", "manual"):
@@ -408,7 +414,7 @@ def fit_sharded(config, A: Optional[Array] = None, log_fn=None):
     def put_batch(key, batch_size):
         if jax.process_count() > 1:
             return host_local_batch(
-                key, A, batch_size, mesh, p.sparsity_x, p.sparsity_e
+                key, A, batch_size, mesh, p.sparsity_x, p.sparsity_e, dtype
             )
         d = make_batch(key, A, batch_size, p.sparsity_x, p.sparsity_e, dtype)
         put = lambda v, spec: jax.device_put(v, NamedSharding(mesh, spec))

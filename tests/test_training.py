@@ -68,3 +68,23 @@ def test_presets_exist():
     for name in ("synthetic_small", "synthetic_large", "tp_large", "multihost"):
         cfg = get_config(name)
         assert cfg.problem.K >= 15
+
+
+def test_vjp_manual_rejected_with_deep_supervision():
+    """vjp='manual' must raise with layer_weights set, not silently fall
+    back to XLA autodiff (the manual path has no trajectory loss)."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from dladmm_tpu.data.synthetic import make_batch, make_dictionary
+    from dladmm_tpu.models.unroll import init_dladmm_params
+    from dladmm_tpu.train.loop import loss_fn
+
+    A = make_dictionary(jax.random.PRNGKey(0), 16, 32)
+    params = init_dladmm_params(A, K=4)
+    data = make_batch(jax.random.PRNGKey(1), A, 8)
+    lw = jnp.full((4,), 0.25)
+    with pytest.raises(ValueError, match="manual"):
+        loss_fn(params, A, data.b, data.x_star, data.e_star,
+                layer_weights=lw, vjp="manual")
