@@ -79,16 +79,28 @@ def train_denoiser(
     mode="denoise",
 ):
     """Train D-LADMM on patch data; returns trained params."""
+    from dladmm_tpu.models.api import select_forward
     from dladmm_tpu.models.unroll import dladmm_forward, init_dladmm_params
 
     params = init_dladmm_params(A, K=K, beta=1.0)
     optimizer = optax.adam(lr)
     opt_state = optimizer.init(params)
 
+    # Patch shapes qualify for the whole-unroll megakernel (and, at
+    # small batches, the Pallas backward) — same auto policy as run.py.
+    S_epoch = len(images) * (
+        ((images[0].shape[0] - patch) // stride + 1) ** 2
+    )
+    fwd, step_fn, _ = select_forward(
+        A.shape[0], A.shape[1], A.shape[0], S_epoch
+    )
+    if fwd is None:
+        fwd = functools.partial(dladmm_forward, step_fn=step_fn)
+
     @jax.jit
     def train_step(params, opt_state, b, tgt_res, tgt_noise):
         def loss_fn(params):
-            x, e, _ = dladmm_forward(params, A, b)
+            x, e, _ = fwd(params, A, b)
             recon = x @ A.T
             return jnp.mean((recon - tgt_res) ** 2) + jnp.mean(
                 (e - tgt_noise) ** 2
@@ -119,11 +131,17 @@ def denoise_image(params, A, noisy, *, patch=8, stride=4, mask=None):
         patch_dc,
         reconstruct_from_patches,
     )
+    from dladmm_tpu.models.api import select_forward
     from dladmm_tpu.models.unroll import dladmm_forward
 
     p_noisy = extract_patches(noisy, patch, stride)
     dc = patch_dc(p_noisy)
-    x, e, _ = dladmm_forward(params, A, p_noisy - dc)
+    fwd, step_fn, _ = select_forward(
+        A.shape[0], A.shape[1], A.shape[0], p_noisy.shape[0]
+    )
+    if fwd is None:
+        fwd = functools.partial(dladmm_forward, step_fn=step_fn)
+    x, e, _ = fwd(params, A, p_noisy - dc)
     clean_patches = x @ A.T + dc
     out = reconstruct_from_patches(
         clean_patches, noisy.shape[0], patch, stride
