@@ -39,7 +39,7 @@ def _chained_train_time(step, state0, iters=32):
 def main() -> None:
     from dladmm_tpu.data.synthetic import make_batch, make_dictionary
     from dladmm_tpu.models.unroll import init_dladmm_params
-    from dladmm_tpu.train.loop import TrainState, loss_fn
+    from dladmm_tpu.train.loop import TrainState, loss_fn, make_train_state
 
     m, n, K, S = 1000, 2000, 20, 1024
     key = jax.random.PRNGKey(0)
@@ -48,9 +48,13 @@ def main() -> None:
     params = init_dladmm_params(A, K=K)
     data = make_batch(kb, A, S)
     optimizer = optax.adam(1e-3)
-    state0 = TrainState(params, optimizer.init(params), jnp.zeros((), jnp.int32))
+    bf = jnp.bfloat16
+    A_c, b_c = A.astype(bf), data.b.astype(bf)
 
     def make_step(precision, compute_dtype=None, vjp="auto"):
+        """Straight-port-style step: loss (optionally casting inside) on
+        the fp32 masters."""
+
         def step(state):
             def wrapped(p):
                 with jax.default_matmul_precision(precision):
@@ -72,19 +76,41 @@ def main() -> None:
                 optax.apply_updates(state.params, updates),
                 opt_state,
                 state.step + 1,
+                state.compute_params,
             )
 
         return step
 
-    # Framework path: TPU-native default — bf16 unroll (fp32 masters) +
-    # hand-written reverse-scan VJP (ops/unroll_vjp.py). Quality parity
-    # for both choices is measured in BASELINE.md.
+    def fast_step(state):
+        """Framework path = train/loop.py's mixed-precision design:
+        loss/backward on the persistent bf16 param copy (manual reverse-
+        scan VJP), bf16 grads into fp32-master Adam via per-op promotion,
+        copy refreshed in the same fused pass — no per-step cast churn."""
+
+        def wrapped(cp):
+            return loss_fn(
+                cp, A_c, b_c, data.x_star, data.e_star, vjp="manual"
+            )
+
+        loss, grads = jax.value_and_grad(wrapped)(state.compute_params)
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        new_params = optax.apply_updates(state.params, updates)
+        cp = jax.tree.map(lambda v: v.astype(bf), new_params)
+        return TrainState(new_params, opt_state, state.step + 1, cp)
+
+    # Framework path: bf16 unroll state (fp32 masters) + manual VJP.
+    # Quality parity for these choices is measured in BASELINE.md.
     t_fast = _chained_train_time(
-        make_step("bfloat16", jnp.bfloat16, "manual"), state0
+        fast_step, make_train_state(params, optimizer, bf)
     )
     # Straight-port baseline: full fp32 matmuls + XLA autodiff (what a
     # naive port of the reference's fp32 cuBLAS pipeline does on TPU).
-    t_port = _chained_train_time(make_step("float32", None, "xla"), state0)
+    t_port = _chained_train_time(
+        make_step("float32", None, "xla"),
+        make_train_state(params, optimizer),
+    )
 
     value = K * S / t_fast
     print(

@@ -33,9 +33,32 @@ from dladmm_tpu.ops.reference import LayerParams
 
 
 class TrainState(NamedTuple):
-    params: DLADMMParams
+    params: DLADMMParams  # fp32 master parameters
     opt_state: Any
     step: Array
+    # Persistent low-precision copy of params (mixed-precision training):
+    # the loss/backward run on this, Adam updates the fp32 masters and
+    # refreshes the copy in the same fused pass — avoiding the ~720 MB/
+    # step fp32<->bf16 cast churn of re-casting inside the loss. None in
+    # full-precision runs (and in old 3-field checkpoints).
+    compute_params: Optional[DLADMMParams] = None
+
+
+def make_train_state(
+    params: DLADMMParams,
+    optimizer: optax.GradientTransformation,
+    compute_dtype=None,
+) -> TrainState:
+    """Fresh TrainState; materializes the compute-precision param copy
+    when compute_dtype is set (see TrainState.compute_params)."""
+    cp = (
+        None
+        if compute_dtype is None
+        else jax.tree.map(lambda v: v.astype(compute_dtype), params)
+    )
+    return TrainState(
+        params, optimizer.init(params), jnp.zeros((), jnp.int32), cp
+    )
 
 
 def loss_fn(
@@ -131,24 +154,52 @@ def make_train_step(
 
     freeze: field names of DLADMMParams to keep at init (e.g. ("beta",)
     for the paper's fixed-penalty variant — SURVEY.md §10 Q4).
+
+    With compute_dtype set, build the state via make_train_state(...,
+    compute_dtype=...) so the persistent low-precision param copy exists:
+    the loss/backward then run on state.compute_params directly (no
+    per-step fp32->bf16 re-cast of the stacked weights), the low-
+    precision grads feed Adam's fp32 masters through per-op promotion,
+    and the copy is refreshed in the same fused pass.
     """
+    A_c = (
+        A
+        if compute_dtype is None
+        else jax.tree.map(lambda v: v.astype(compute_dtype), A)
+    )
 
     @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def train_step(state: TrainState, key: jax.Array):
         data = make_batch(key, A, batch, sparsity_x, sparsity_e, A.dtype)
-        loss, grads = jax.value_and_grad(loss_fn)(
-            state.params,
-            A,
-            data.b,
-            data.x_star,
-            data.e_star,
-            B,
-            layer_weights,
-            step_fn,
-            forward_fn,
-            compute_dtype,
-            vjp,
-        )
+        if compute_dtype is not None and state.compute_params is not None:
+            b_c = data.b.astype(compute_dtype)
+            loss, grads = jax.value_and_grad(loss_fn)(
+                state.compute_params,
+                A_c,
+                b_c,
+                data.x_star,
+                data.e_star,
+                B,
+                layer_weights,
+                step_fn,
+                forward_fn,
+                None,  # inputs already in compute dtype
+                vjp,
+            )
+        else:
+            loss, grads = jax.value_and_grad(loss_fn)(
+                state.params,
+                A,
+                data.b,
+                data.x_star,
+                data.e_star,
+                B,
+                layer_weights,
+                step_fn,
+                forward_fn,
+                compute_dtype,
+                vjp,
+            )
         if freeze:
             grads = type(grads)(
                 *(
@@ -160,7 +211,12 @@ def make_train_step(
             grads, state.opt_state, state.params
         )
         params = optax.apply_updates(state.params, updates)
-        return TrainState(params, opt_state, state.step + 1), loss
+        cp = (
+            None
+            if state.compute_params is None
+            else jax.tree.map(lambda v: v.astype(compute_dtype), params)
+        )
+        return TrainState(params, opt_state, state.step + 1, cp), loss
 
     return train_step
 
@@ -281,7 +337,6 @@ def fit(
     else:
         lr = t.lr
     optimizer = optax.adam(lr)
-    state = TrainState(params, optimizer.init(params), jnp.zeros((), jnp.int32))
 
     layer_weights = None
     if t.layer_loss == "uniform":
@@ -304,6 +359,7 @@ def fit(
         freeze=tuple(t.freeze),
         vjp=getattr(t, "vjp", "auto"),
     )
+    state = make_train_state(params, optimizer, compute_dtype)
     eval_data = make_batch(
         k_eval, A, t.eval_batch, p.sparsity_x, p.sparsity_e, dtype
     )
