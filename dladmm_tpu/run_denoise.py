@@ -168,6 +168,12 @@ def main(argv=None) -> int:
         help="overcomplete 2-D DCT, or learned from clean training "
         "patches (FISTA+MOD, data/dictionary.py)",
     )
+    ap.add_argument(
+        "--dict-mat",
+        default=None,
+        help="load the dictionary from a .mat fixture (the reference's "
+        "learned-dictionary format; data/fixtures.py) instead of --dict",
+    )
     ap.add_argument("--density", type=float, default=0.1)
     ap.add_argument("--layers", type=int, default=15)
     ap.add_argument("--steps", type=int, default=400)
@@ -183,6 +189,15 @@ def main(argv=None) -> int:
     from dladmm_tpu.metrics.core import psnr
 
     A = dct_dictionary(patch=8, atoms_per_dim=16)
+    if args.dict_mat:
+        from dladmm_tpu.data.fixtures import load_mat_dictionary
+
+        A = load_mat_dictionary(args.dict_mat)
+        if A.shape[0] != 64:
+            raise SystemExit(
+                f"--dict-mat dictionary has {A.shape[0]} rows; need "
+                "patch*patch = 64 for the 8x8 patch pipeline"
+            )
     key = jax.random.PRNGKey(args.seed)
     k_train, k_test = jax.random.split(key)
 
