@@ -88,3 +88,46 @@ def test_vjp_manual_rejected_with_deep_supervision():
     with pytest.raises(ValueError, match="manual"):
         loss_fn(params, A, data.b, data.x_star, data.e_star,
                 layer_weights=lw, vjp="manual")
+
+
+def test_dual_copy_mixed_precision_matches_cast_path():
+    """The persistent compute-params copy must produce the same training
+    trajectory as casting inside the loss every step (same math, less
+    traffic)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from dladmm_tpu.data.synthetic import make_dictionary
+    from dladmm_tpu.models.unroll import init_dladmm_params
+    from dladmm_tpu.train.loop import (
+        TrainState,
+        make_train_state,
+        make_train_step,
+    )
+
+    A = make_dictionary(jax.random.PRNGKey(0), 16, 32)
+    params = init_dladmm_params(A, K=4)
+    opt = optax.adam(1e-3)
+    step = make_train_step(
+        opt, A, batch=8, compute_dtype=jnp.bfloat16, donate=False
+    )
+
+    # Dual-copy state vs legacy 3-field state (compute_params=None →
+    # per-step cast fallback): same math, but XLA schedules the bf16
+    # roundings differently (pre-cast A constant vs cast-in-jit), so
+    # parity is to bf16 accumulation noise, not bitwise.
+    s_dual = make_train_state(params, opt, jnp.bfloat16)
+    s_cast = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+    for i in range(5):
+        key = jax.random.fold_in(jax.random.PRNGKey(1), i)
+        s_dual, loss_d = step(s_dual, key)
+        s_cast, loss_c = step(s_cast, key)
+    for name, a, b in zip(params._fields, s_dual.params, s_cast.params):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=0.05, atol=2e-3,
+            err_msg=name,
+        )
+    np.testing.assert_allclose(float(loss_d), float(loss_c), rtol=1e-2)
+    assert s_dual.compute_params is not None
+    assert s_dual.compute_params.W1.dtype == jnp.bfloat16
