@@ -19,10 +19,21 @@ _EPS = 1e-12
 
 
 def nmse_db(x_hat: Array, x_star: Array) -> Array:
-    """Batch-mean normalized MSE in dB. Inputs (S, n)."""
+    """Batch-mean normalized MSE in dB. Inputs (S, n).
+
+    Samples whose ground truth has (numerically) zero support are
+    excluded from the mean: their per-sample ratio ||x̂||²/0 is
+    undefined and would otherwise dominate the batch with +80 dB noise.
+    At the benchmark shapes (n >= 500, sparsity 0.1) empty supports have
+    probability ~1e-23, so this changes nothing there; it matters for
+    tiny unit-test shapes (P(empty) ≈ 3% at n = 32).
+    """
     num = jnp.sum((x_hat - x_star) ** 2, axis=-1)
     den = jnp.sum(x_star**2, axis=-1)
-    return 10.0 * jnp.log10(jnp.mean(num / jnp.maximum(den, _EPS)) + _EPS)
+    valid = den > _EPS
+    ratio = jnp.where(valid, num / jnp.maximum(den, _EPS), 0.0)
+    mean = jnp.sum(ratio) / jnp.maximum(jnp.sum(valid), 1)
+    return 10.0 * jnp.log10(mean + _EPS)
 
 
 def per_layer_nmse_db(traj_x: Array, x_star: Array) -> Array:

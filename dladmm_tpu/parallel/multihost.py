@@ -25,7 +25,11 @@ def initialize_distributed(
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
 ) -> None:
-    """Initialize cross-host JAX. No-op when unconfigured single-host."""
+    """Initialize cross-host JAX. No-op when already initialized (e.g.
+    the launcher called jax.distributed.initialize itself) or when
+    unconfigured single-host."""
+    if jax.distributed.is_initialized():
+        return
     if coordinator_address is None and jax.process_count() == 1:
         return
     jax.distributed.initialize(

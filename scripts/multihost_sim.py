@@ -1,0 +1,90 @@
+"""Multi-host training simulation: N real OS processes, virtual CPU
+devices, the REAL fit_sharded multihost code path (SURVEY.md §5.5,
+§6.2-5 taken beyond mocks — actual Gloo collectives across processes).
+
+Worker (launched N times by the harness or by hand):
+    python scripts/multihost_sim.py --process-id=I --num-processes=N \
+        --coordinator=127.0.0.1:PORT
+
+Each process owns 4 virtual CPU devices; the global mesh is
+(data=2N, model=2). Host-local batches are built with
+make_array_from_process_local_data exactly as on a real pod. Process 0
+prints one JSON line with the final metrics.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--process-id", type=int, required=True)
+    ap.add_argument("--num-processes", type=int, default=2)
+    ap.add_argument("--coordinator", default="127.0.0.1:9891")
+    ap.add_argument("--steps", type=int, default=30)
+    args = ap.parse_args(argv)
+
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=4"
+    ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator_address=args.coordinator,
+        num_processes=args.num_processes,
+        process_id=args.process_id,
+    )
+
+    from dladmm_tpu.train.loop import fit_sharded
+    from dladmm_tpu.utils.config import (
+        Config,
+        ProblemConfig,
+        ShardingConfig,
+        TrainConfig,
+    )
+
+    n_local = jax.local_device_count()
+    cfg = Config(
+        name="multihost_sim",
+        problem=ProblemConfig(m=16, n=32, K=4),
+        train=TrainConfig(
+            batch=16 * args.num_processes,
+            steps=args.steps,
+            lr=1e-3,
+            eval_every=max(1, args.steps // 3),
+            eval_batch=16 * args.num_processes,
+        ),
+        sharding=ShardingConfig(
+            data_axis=(n_local * args.num_processes) // 2,
+            model_axis=2,
+            multihost=True,
+        ),
+    )
+    params, history = fit_sharded(cfg)
+    if jax.process_index() == 0:
+        first, last = history[0], history[-1]
+        print(
+            json.dumps(
+                {
+                    "processes": jax.process_count(),
+                    "global_devices": jax.device_count(),
+                    "mesh": last["mesh"],
+                    "nmse_db_first": first["nmse_db"],
+                    "nmse_db_last": last["nmse_db"],
+                    "improved": last["nmse_db"] < first["nmse_db"],
+                }
+            )
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
