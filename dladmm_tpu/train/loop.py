@@ -337,6 +337,11 @@ def fit(
     else:
         lr = t.lr
     optimizer = optax.adam(lr)
+    clip = getattr(t, "clip_norm", None)
+    if clip:
+        optimizer = optax.chain(
+            optax.clip_by_global_norm(clip), optimizer
+        )
 
     layer_weights = None
     if t.layer_loss == "uniform":

@@ -35,6 +35,11 @@ class TrainConfig:
     layer_loss: Optional[str] = None
     # None = constant lr; "cosine" = linear warmup (5%) + cosine decay to 0.
     lr_schedule: Optional[str] = None
+    # Global-norm gradient clipping; None = off. Long training runs of
+    # unrolled solvers can go spectrally unstable without it (a large
+    # step on W1/beta can push the layer map's Lipschitz constant > 1,
+    # after which the forward blows up in one step).
+    clip_norm: Optional[float] = None
     # {auto|megakernel|pallas|reference} (SURVEY.md §9.1; models/api.py)
     kernel: str = "auto"
     # "bfloat16" runs the unroll in bf16 with fp32 master params/optimizer
@@ -67,17 +72,36 @@ class Config:
 
 
 PRESETS = {
-    # BASELINE.json:7 — CPU-runnable PR1 reference config.
+    # BASELINE.json:7 — CPU-runnable PR1 reference config. Defaults are
+    # the measured-best quality recipe (BASELINE.md): 10k cosine steps,
+    # clipped — -16.5 dB vs LADMM's -10.8 at K=15; ~1 s of device time.
     "synthetic_small": Config(
         name="synthetic_small",
         problem=ProblemConfig(m=250, n=500, K=15),
-        train=TrainConfig(batch=64),
+        train=TrainConfig(
+            batch=64,
+            steps=10000,
+            lr=1e-3,
+            lr_schedule="cosine",
+            clip_norm=1.0,
+            eval_every=1000,
+        ),
     ),
-    # BASELINE.json:8 — single-chip MXU saturation case.
+    # BASELINE.json:8 — single-chip MXU saturation case. -23.4 dB vs
+    # LADMM's -14.1 at K=20 with these defaults (~80 s of device time).
+    # NOTE: peak lr above ~2e-4 destabilizes the unroll at this shape
+    # (the layer map goes spectrally unstable) — see BASELINE.md.
     "synthetic_large": Config(
         name="synthetic_large",
         problem=ProblemConfig(m=1000, n=2000, K=20),
-        train=TrainConfig(batch=1024),
+        train=TrainConfig(
+            batch=1024,
+            steps=10000,
+            lr=2e-4,
+            lr_schedule="cosine",
+            clip_norm=1.0,
+            eval_every=1000,
+        ),
     ),
     # CPU/virtual-mesh-runnable sharded smoke config (same code path as
     # tp_large at shapes a laptop or the 8-device virtual mesh can run).
