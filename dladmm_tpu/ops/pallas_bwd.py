@@ -208,7 +208,7 @@ def unroll_bwd_pallas(
     th2 = jnp.broadcast_to(
         params.theta2.reshape(K, 1, -1).astype(dt), (K, 1, d)
     )
-    beta = params.beta.reshape(K, 1).astype(dt)
+    beta = params.beta.reshape(K, 1).astype(jnp.float32)  # SMEM scalars must be 32-bit on TPU
 
     whole = lambda shape: pl.BlockSpec(
         shape, lambda p: (0,) * len(shape), memory_space=pltpu.VMEM
@@ -261,7 +261,7 @@ def unroll_bwd_pallas(
             jax.ShapeDtypeStruct((K, d, m), dt),
             jax.ShapeDtypeStruct((K, 1, n), dt),
             jax.ShapeDtypeStruct((K, 1, d), dt),
-            jax.ShapeDtypeStruct((K, 1), dt),
+            jax.ShapeDtypeStruct((K, 1), jnp.float32),  # SMEM: 32-bit
             jax.ShapeDtypeStruct((K, S, m), dt),
             jax.ShapeDtypeStruct((S, m), dt),
         ],
@@ -305,7 +305,7 @@ def unroll_bwd_pallas(
         W2=gW2,
         theta1=red(gth1_full, params.theta1.shape),
         theta2=red(gth2_full, params.theta2.shape),
-        beta=gbeta[:, 0],
+        beta=gbeta[:, 0].astype(params.beta.dtype),
     )
     # gA = sum_k gAx1_k^T x1_k — one batched contraction; XLA removes it
     # (and this einsum's read of gax1) when gA is never consumed.

@@ -81,10 +81,10 @@ def _unroll_kernel(
     th2 = jnp.maximum(th2_ref[0], 0.0)
     p2 = z - dot_t(v, w2_ref[0])
     z1 = jnp.sign(p2) * jnp.maximum(jnp.abs(p2) - th2, 0.0)
-    x_ref[:] = x1
-    z_ref[:] = z1
-    lam_ref[:] = lam + beta * (ax1 + z1 - b)
-    ax_ref[:] = ax1
+    x_ref[:] = x1.astype(x_ref.dtype)
+    z_ref[:] = z1.astype(z_ref.dtype)
+    lam_ref[:] = (lam + beta * (ax1 + z1 - b)).astype(lam_ref.dtype)
+    ax_ref[:] = ax1.astype(ax_ref.dtype)
 
 
 def unroll_fits_vmem(
@@ -115,7 +115,7 @@ def _unrolled_forward_pallas(
     th2 = jnp.broadcast_to(
         params.theta2.reshape(K, 1, -1).astype(b.dtype), (K, 1, d)
     )
-    beta = params.beta.reshape(K, 1).astype(b.dtype)
+    beta = params.beta.reshape(K, 1).astype(jnp.float32)  # SMEM scalars must be 32-bit on TPU
 
     whole = lambda shape: pl.BlockSpec(
         shape, lambda k: (0,) * len(shape), memory_space=pltpu.VMEM
@@ -212,10 +212,10 @@ def _unroll_traj_kernel(
     z_s[:] = z1
     lam_s[:] = lam1
     ax_s[:] = ax1
-    tx_ref[0] = x1
-    tz_ref[0] = z1
-    tlam_ref[0] = lam1
-    tax_ref[0] = ax1
+    tx_ref[0] = x1.astype(tx_ref.dtype)
+    tz_ref[0] = z1.astype(tz_ref.dtype)
+    tlam_ref[0] = lam1.astype(tlam_ref.dtype)
+    tax_ref[0] = ax1.astype(tax_ref.dtype)
 
 
 def _traj_pallas(params, A, b, *, matmul_dtype, interpret):
@@ -231,7 +231,7 @@ def _traj_pallas(params, A, b, *, matmul_dtype, interpret):
     th2 = jnp.broadcast_to(
         params.theta2.reshape(K, 1, -1).astype(b.dtype), (K, 1, d)
     )
-    beta = params.beta.reshape(K, 1).astype(b.dtype)
+    beta = params.beta.reshape(K, 1).astype(jnp.float32)  # SMEM scalars must be 32-bit on TPU
     whole = lambda shape: pl.BlockSpec(
         shape, lambda k: (0,) * len(shape), memory_space=pltpu.VMEM
     )

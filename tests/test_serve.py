@@ -43,3 +43,26 @@ def test_validation(server_and_data):
         server.solve(jnp.zeros((100, 20)))
     with pytest.raises(ValueError, match="expected"):
         server.solve(jnp.zeros((4, 21)))
+
+
+def test_bf16_server_close_to_fp32():
+    import jax
+    import jax.numpy as jnp
+
+    from dladmm_tpu.data.synthetic import make_batch, make_dictionary
+    from dladmm_tpu.models.unroll import init_dladmm_params
+    from dladmm_tpu.serve import InferenceServer
+
+    key = jax.random.PRNGKey(0)
+    kA, kb = jax.random.split(key)
+    A = make_dictionary(kA, 32, 64)
+    params = init_dladmm_params(A, K=6)
+    b = make_batch(kb, A, 16).b
+
+    s32 = InferenceServer(params, A, max_batch=16)
+    s16 = InferenceServer(params, A, max_batch=16, dtype=jnp.bfloat16)
+    x32, z32 = s32.solve(b)
+    x16, z16 = s16.solve(b)  # fp32 request cast internally
+    assert x16.dtype == jnp.bfloat16
+    scale = float(jnp.abs(x32).max()) + 1e-9
+    assert float(jnp.abs(x16.astype(jnp.float32) - x32).max()) < 0.05 * scale
