@@ -95,10 +95,10 @@ def _layer_kernel(
     th2 = jnp.maximum(th2_ref[:], 0.0)
     p2 = z - _dot_t(v, w2_ref[:], matmul_dtype)
     z1 = jnp.sign(p2) * jnp.maximum(jnp.abs(p2) - th2, 0.0)
-    x1_ref[:] = x1
-    z1_ref[:] = z1
-    lam1_ref[:] = lam + beta * (ax1 + z1 - b)
-    ax1_ref[:] = ax1
+    x1_ref[:] = x1.astype(x1_ref.dtype)
+    z1_ref[:] = z1.astype(z1_ref.dtype)
+    lam1_ref[:] = (lam + beta * (ax1 + z1 - b)).astype(lam1_ref.dtype)
+    ax1_ref[:] = ax1.astype(ax1_ref.dtype)
 
 
 def weights_fit_vmem(
@@ -232,7 +232,9 @@ def make_fused_step(
         th2 = jnp.broadcast_to(
             jnp.asarray(p.theta2, z.dtype).reshape(1, -1), (1, d)
         )
-        beta = jnp.asarray(p.beta, x.dtype).reshape(1, 1)
+        # SMEM scalars must be 32-bit on TPU (Mosaic cannot legalize
+        # bf16 scalar arith like maximumf).
+        beta = jnp.asarray(p.beta, jnp.float32).reshape(1, 1)
         x1, z1, lam1, Ax1 = fused_core(
             A, b, x, z, lam, Ax, p.W1, p.W2, th1, th2, beta
         )

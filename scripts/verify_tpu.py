@@ -1,0 +1,112 @@
+"""Real-TPU kernel verification (complements tests/, which run all
+Pallas kernels in CPU interpret mode — Mosaic compile errors like the
+bf16-SMEM-scalar bug only surface on real hardware).
+
+    python scripts/verify_tpu.py
+
+Compiles and runs every kernel path on the attached TPU in fp32 AND
+bf16, asserting parity against the pure-JAX golden op. Exits non-zero
+on any failure. ~2 min (compiles dominate).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def check(name, got, want, tol):
+    err = float(
+        jnp.max(jnp.abs(got.astype(jnp.float32) - want.astype(jnp.float32)))
+    )
+    scale = float(jnp.max(jnp.abs(want.astype(jnp.float32)))) + 1e-12
+    ok = err <= tol * scale
+    print(
+        f"  {name:42s} max_err={err:.3e} rel={err/scale:.2e} "
+        f"({'OK' if ok else 'FAIL'})"
+    )
+    return ok
+
+
+def main() -> int:
+    if jax.default_backend() not in ("tpu", "axon") and not any(
+        d.platform == "tpu" for d in jax.devices()
+    ):
+        print(f"no TPU attached (backend={jax.default_backend()}); skipping")
+        return 0
+
+    import optax
+
+    from dladmm_tpu.data.synthetic import make_batch, make_dictionary
+    from dladmm_tpu.models.unroll import dladmm_forward, init_dladmm_params
+    from dladmm_tpu.ops.pallas_layer import auto_fused_step
+    from dladmm_tpu.ops.pallas_unroll import (
+        make_unrolled_forward,
+        make_unrolled_trajectory,
+    )
+
+    ok = True
+    m, n, K, S = 250, 500, 15, 64
+    key = jax.random.PRNGKey(0)
+    kA, kb = jax.random.split(key)
+    A0 = make_dictionary(kA, m, n)
+    params0 = init_dladmm_params(A0, K=K)
+    data = make_batch(kb, A0, S)
+
+    # Gradient tolerances are RELATIVE to max|grad| and sized for bf16
+    # MXU-pass quantization: on TPU both the XLA-autodiff reference and
+    # the Pallas backward run matmuls in bf16 passes with different
+    # rounding schedules, so their difference is ~2x one path's
+    # quantization noise. EXACT gradient parity is pinned separately in
+    # fp32 interpret mode (tests/test_pallas_bwd.py); this script checks
+    # real-TPU compilation + same-ballpark numerics.
+    for dname, dt, tol_f, tol_g in [
+        ("fp32", jnp.float32, 2e-5, 5e-2),
+        ("bf16", jnp.bfloat16, 5e-2, 4e-1),
+    ]:
+        print(f"[{dname}]")
+        cast = lambda t: jax.tree.map(lambda v: v.astype(dt), t)
+        params, A, b = cast(params0), cast(A0), cast(data.b)
+        ref_x, ref_z, ref_lam = dladmm_forward(params, A, b)
+
+        fwd = make_unrolled_forward(interpret=False)
+        x, z, lam = jax.jit(fwd)(params, A, b)
+        ok &= check("megakernel forward x", x, ref_x, tol_f)
+        ok &= check("megakernel forward lam", lam, ref_lam, tol_f)
+
+        traj = make_unrolled_trajectory(interpret=False)
+        tx, tz, tlam = jax.jit(traj)(params, A, b)
+        ok &= check("trajectory megakernel x[-1]", tx[-1], ref_x, tol_f)
+
+        step = auto_fused_step(m, n, m)
+        if step is not None:
+            x2, z2, lam2 = dladmm_forward(params, A, b, step_fn=step)
+            ok &= check("per-layer fused kernel x", x2, ref_x, tol_f)
+
+        # Full training-gradient parity: megakernel fwd + Pallas bwd vs
+        # pure XLA autodiff through the golden op.
+        def loss(p, f):
+            x, z, _ = f(p, A, b)
+            return jnp.mean(x.astype(jnp.float32) ** 2) + jnp.mean(
+                z.astype(jnp.float32) ** 2
+            )
+
+        g_ref = jax.jit(
+            lambda p: jax.grad(loss)(p, lambda *a: dladmm_forward(*a))
+        )(params)
+        g_pl = jax.jit(lambda p: jax.grad(loss)(p, fwd))(params)
+        for name, r, p_ in zip(params._fields, g_ref, g_pl):
+            ok &= check(f"pallas-bwd grad {name}", p_, r, tol_g)
+
+    print("PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
