@@ -30,8 +30,8 @@ def _cal_latency(fn, args, hi=256):
 
 def measure(m=250, n=500, K=15, buckets=(1, 8, 64, 256), kernel="auto"):
     from dladmm_tpu.data.synthetic import make_batch, make_dictionary
-    from dladmm_tpu.models.api import select_forward
-    from dladmm_tpu.models.unroll import dladmm_forward, init_dladmm_params
+    from dladmm_tpu.models.api import resolve_forward
+    from dladmm_tpu.models.unroll import init_dladmm_params
 
     key = jax.random.PRNGKey(0)
     kA, kb = jax.random.split(key)
@@ -48,11 +48,7 @@ def measure(m=250, n=500, K=15, buckets=(1, 8, 64, 256), kernel="auto"):
     rows = []
     for S in buckets:
         data = make_batch(kb, A, S)
-        forward_fn, step_fn, desc = select_forward(m, n, m, S, kernel=kernel)
-        if forward_fn is None:
-            forward_fn = lambda p, A_, b_, _sf=step_fn: dladmm_forward(
-                p, A_, b_, step_fn=_sf
-            )
+        forward_fn, desc = resolve_forward(m, n, m, S, kernel=kernel)
         fn = lambda b: forward_fn(params, A, b)[:2]
         t = _cal_latency(fn, data.b, hi=512)
         rows.append(

@@ -95,8 +95,10 @@ def load_mat_image(
         img = img[..., 0]
     if img.ndim != 2:
         raise ValueError(f"image must be 2-D grayscale, got {img.shape}")
+    is_int = np.issubdtype(img.dtype, np.integer)
     img = img.astype(np.float64)
-    if img.max() > 1.5:  # uint8-style range
+    if is_int or img.max() > 1.5:  # uint8-style range (dtype, not values
+        # — a nearly-black integer image must still divide by 255)
         img = img / 255.0
     return jnp.asarray(np.clip(img, 0.0, 1.0), dtype)
 

@@ -31,9 +31,14 @@ def nmse_db(x_hat: Array, x_star: Array) -> Array:
     num = jnp.sum((x_hat - x_star) ** 2, axis=-1)
     den = jnp.sum(x_star**2, axis=-1)
     valid = den > _EPS
+    n_valid = jnp.sum(valid)
     ratio = jnp.where(valid, num / jnp.maximum(den, _EPS), 0.0)
-    mean = jnp.sum(ratio) / jnp.maximum(jnp.sum(valid), 1)
-    return 10.0 * jnp.log10(mean + _EPS)
+    mean = jnp.sum(ratio) / jnp.maximum(n_valid, 1)
+    # All-degenerate batch: there is no meaningful NMSE — surface NaN
+    # rather than the near-perfect -120 dB that log10(0+eps) would give.
+    return jnp.where(
+        n_valid > 0, 10.0 * jnp.log10(mean + _EPS), jnp.nan
+    )
 
 
 def per_layer_nmse_db(traj_x: Array, x_star: Array) -> Array:

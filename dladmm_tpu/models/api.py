@@ -54,3 +54,26 @@ def select_forward(
         if step is not None:
             return None, step, "scan+fused-layer-kernel"
     return None, None, "xla-scan-reference"
+
+
+def resolve_forward(
+    m: int,
+    n: int,
+    d: int,
+    S: int,
+    kernel: str = "auto",
+    need_trajectory: bool = False,
+    identity_B: bool = True,
+) -> Tuple[ForwardFn, str]:
+    """select_forward collapsed to ONE callable (params, A, b) ->
+    (x, z, lam): the megakernel when selected, else the scan with the
+    selected (or default) step_fn. The single place encoding the
+    'forward_fn or partial(dladmm_forward, step_fn)' policy."""
+    import functools
+
+    forward_fn, step_fn, desc = select_forward(
+        m, n, d, S, kernel, need_trajectory, identity_B
+    )
+    if forward_fn is None:
+        forward_fn = functools.partial(dladmm_forward, step_fn=step_fn)
+    return forward_fn, desc

@@ -216,7 +216,10 @@ def make_fused_step(
     def bwd(res, cts):
         # Rematerialize through the identical pure-JAX op; XLA fuses the
         # backward matmul+mask chain (SURVEY.md §9.1 hard-part (a)).
-        _, vjp = jax.vjp(_ref_core, *res)
+        # beta is fp32 (SMEM constraint) while state may be bf16, so the
+        # ref op's outputs promote — align the cotangent dtypes to it.
+        outs, vjp = jax.vjp(_ref_core, *res)
+        cts = tuple(c.astype(o.dtype) for c, o in zip(cts, outs))
         return vjp(cts)
 
     fused_core.defvjp(fwd, bwd)

@@ -23,7 +23,6 @@ Pipeline (reference call stack §5.4, fixture-free per §9.5):
 from __future__ import annotations
 
 import argparse
-import functools
 import json
 import sys
 
@@ -79,8 +78,8 @@ def train_denoiser(
     mode="denoise",
 ):
     """Train D-LADMM on patch data; returns trained params."""
-    from dladmm_tpu.models.api import select_forward
-    from dladmm_tpu.models.unroll import dladmm_forward, init_dladmm_params
+    from dladmm_tpu.models.api import resolve_forward
+    from dladmm_tpu.models.unroll import init_dladmm_params
 
     params = init_dladmm_params(A, K=K, beta=1.0)
     optimizer = optax.adam(lr)
@@ -88,14 +87,12 @@ def train_denoiser(
 
     # Patch shapes qualify for the whole-unroll megakernel (and, at
     # small batches, the Pallas backward) — same auto policy as run.py.
-    S_epoch = len(images) * (
-        ((images[0].shape[0] - patch) // stride + 1) ** 2
+    S_epoch = sum(
+        ((img.shape[0] - patch) // stride + 1)
+        * ((img.shape[1] - patch) // stride + 1)
+        for img in images
     )
-    fwd, step_fn, _ = select_forward(
-        A.shape[0], A.shape[1], A.shape[0], S_epoch
-    )
-    if fwd is None:
-        fwd = functools.partial(dladmm_forward, step_fn=step_fn)
+    fwd, _ = resolve_forward(A.shape[0], A.shape[1], A.shape[0], S_epoch)
 
     @jax.jit
     def train_step(params, opt_state, b, tgt_res, tgt_noise):
@@ -131,16 +128,13 @@ def denoise_image(params, A, noisy, *, patch=8, stride=4, mask=None):
         patch_dc,
         reconstruct_from_patches,
     )
-    from dladmm_tpu.models.api import select_forward
-    from dladmm_tpu.models.unroll import dladmm_forward
+    from dladmm_tpu.models.api import resolve_forward
 
     p_noisy = extract_patches(noisy, patch, stride)
     dc = patch_dc(p_noisy)
-    fwd, step_fn, _ = select_forward(
+    fwd, _ = resolve_forward(
         A.shape[0], A.shape[1], A.shape[0], p_noisy.shape[0]
     )
-    if fwd is None:
-        fwd = functools.partial(dladmm_forward, step_fn=step_fn)
     x, e, _ = fwd(params, A, p_noisy - dc)
     clean_patches = x @ A.T + dc
     out = reconstruct_from_patches(

@@ -22,8 +22,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax import Array
 
-from dladmm_tpu.models.api import select_forward
-from dladmm_tpu.models.unroll import DLADMMParams, dladmm_forward
+from dladmm_tpu.models.api import resolve_forward
+from dladmm_tpu.models.unroll import DLADMMParams
 
 
 def _buckets(max_batch: int) -> Tuple[int, ...]:
@@ -67,13 +67,7 @@ class InferenceServer:
         self.buckets = tuple(sorted(buckets or _buckets(max_batch)))
         self._compiled: Dict[int, jax.stages.Compiled] = {}
         for S in self.buckets:
-            forward_fn, step_fn, _ = select_forward(
-                m, n, d, S, kernel=kernel
-            )
-            if forward_fn is None:
-                forward_fn = lambda p, A_, b_, _sf=step_fn: dladmm_forward(
-                    p, A_, b_, step_fn=_sf
-                )
+            forward_fn, _ = resolve_forward(m, n, d, S, kernel=kernel)
             fn = jax.jit(lambda p, A_, b_, _f=forward_fn: _f(p, A_, b_)[:2])
             self._compiled[S] = fn.lower(
                 params, A, jax.ShapeDtypeStruct((S, m), A.dtype)

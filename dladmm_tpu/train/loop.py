@@ -162,14 +162,20 @@ def make_train_step(
     precision grads feed Adam's fp32 masters through per-op promotion,
     and the copy is refreshed in the same fused pass.
     """
-    A_c = (
-        A
-        if compute_dtype is None
-        else jax.tree.map(lambda v: v.astype(compute_dtype), A)
+    A_c = A if compute_dtype is None else A.astype(compute_dtype)
+    B_c = (
+        B if B is None or compute_dtype is None else B.astype(compute_dtype)
     )
 
     @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def train_step(state: TrainState, key: jax.Array):
+        if compute_dtype is None and state.compute_params is not None:
+            raise ValueError(
+                "state carries compute_params but the step was built "
+                "without compute_dtype — build both from the same config "
+                "(make_train_state(..., compute_dtype=...) pairs with "
+                "make_train_step(..., compute_dtype=...))"
+            )
         data = make_batch(key, A, batch, sparsity_x, sparsity_e, A.dtype)
         if compute_dtype is not None and state.compute_params is not None:
             b_c = data.b.astype(compute_dtype)
@@ -179,7 +185,7 @@ def make_train_step(
                 b_c,
                 data.x_star,
                 data.e_star,
-                B,
+                B_c,
                 layer_weights,
                 step_fn,
                 forward_fn,
@@ -380,7 +386,20 @@ def fit(
         if resume:
             latest = latest_step_dir(ckpt_dir)
             if latest is not None:
-                state = restore_checkpoint(latest, state)
+                # Checkpoints hold the 3 canonical fields only (the
+                # compute-precision copy is derivable; stripping it also
+                # keeps old 3-field checkpoints restorable).
+                restored = restore_checkpoint(
+                    latest, state._replace(compute_params=None)
+                )
+                cp = (
+                    None
+                    if compute_dtype is None
+                    else jax.tree.map(
+                        lambda v: v.astype(compute_dtype), restored.params
+                    )
+                )
+                state = restored._replace(compute_params=cp)
                 start = int(state.step)
 
     history = []
@@ -400,7 +419,11 @@ def fit(
             if log_fn:
                 log_fn(rec)
             if ckpt_dir:
-                save_checkpoint(ckpt_dir, state, step=i + 1)
+                save_checkpoint(
+                    ckpt_dir,
+                    state._replace(compute_params=None),
+                    step=i + 1,
+                )
     return state.params, history
 
 

@@ -30,10 +30,19 @@ def main(argv=None) -> int:
     ap.add_argument("--steps", type=int, default=30)
     args = ap.parse_args(argv)
 
-    os.environ["XLA_FLAGS"] = (
-        os.environ.get("XLA_FLAGS", "")
-        + " --xla_force_host_platform_device_count=4"
-    ).strip()
+    # Set (or raise) the virtual-device-count flag without duplicating
+    # it — two conflicting instances are parse-order dependent.
+    import re
+
+    flags = os.environ.get("XLA_FLAGS", "")
+    mm = re.search(r"--xla_force_host_platform_device_count=(\d+)", flags)
+    if mm is None:
+        flags = (flags + " --xla_force_host_platform_device_count=4").strip()
+    elif int(mm.group(1)) != 4:
+        flags = flags.replace(
+            mm.group(0), "--xla_force_host_platform_device_count=4"
+        )
+    os.environ["XLA_FLAGS"] = flags
     import jax
 
     jax.config.update("jax_platforms", "cpu")

@@ -93,3 +93,34 @@ def test_weights_fit_vmem_budget():
     assert not weights_fit_vmem(8192, 16384, 8192, 256)
     # flagship fits only with bf16 operands and a modest batch tile
     assert not weights_fit_vmem(1000, 2000, 1000, 256)
+
+
+def test_fused_step_bf16_grads():
+    """Regression: the per-layer fused kernel's custom_vjp must work
+    under bf16 inputs (fp32 SMEM beta promotes the rematerialized ref
+    outputs; the backward aligns cotangent dtypes)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dladmm_tpu.data.synthetic import make_batch, make_dictionary
+    from dladmm_tpu.models.unroll import dladmm_forward, init_dladmm_params
+    from dladmm_tpu.ops.pallas_layer import make_fused_step
+
+    key = jax.random.PRNGKey(0)
+    kA, kb = jax.random.split(key)
+    A = make_dictionary(kA, 16, 32)
+    params = init_dladmm_params(A, K=3)
+    b = make_batch(kb, A, 8).b
+    cast = lambda t: jax.tree.map(lambda v: v.astype(jnp.bfloat16), t)
+    p16, A16, b16 = cast(params), cast(A), cast(b)
+    step = make_fused_step(block_s=8)
+
+    def loss(p):
+        x, z, _ = dladmm_forward(p, A16, b16, step_fn=step)
+        return jnp.mean(x.astype(jnp.float32) ** 2) + jnp.mean(
+            z.astype(jnp.float32) ** 2
+        )
+
+    g = jax.grad(loss)(p16)
+    assert g.W1.dtype == jnp.bfloat16
+    assert all(bool(jnp.isfinite(l).all()) for l in jax.tree.leaves(g))
