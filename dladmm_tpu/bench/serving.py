@@ -28,7 +28,8 @@ def _cal_latency(fn, args, hi=256):
     return time_chained(lambda b: b0 + 1e-12 * fn(b)[1], b0, iters=hi)
 
 
-def measure(m=250, n=500, K=15, buckets=(1, 8, 64, 256), kernel="auto"):
+def measure(m=250, n=500, K=15, buckets=(1, 8, 64, 256), kernel="auto",
+            dtype=None):
     from dladmm_tpu.data.synthetic import make_batch, make_dictionary
     from dladmm_tpu.models.api import resolve_forward
     from dladmm_tpu.models.unroll import init_dladmm_params
@@ -37,6 +38,9 @@ def measure(m=250, n=500, K=15, buckets=(1, 8, 64, 256), kernel="auto"):
     kA, kb = jax.random.split(key)
     A = make_dictionary(kA, m, n)
     params = init_dladmm_params(A, K=K)
+    if dtype is not None:  # serve.py's bf16 serving mode
+        params = jax.tree.map(lambda v: v.astype(dtype), params)
+        A = A.astype(dtype)
 
     # Dispatch overhead: one tiny jitted call, wall-clock (the relay RTT).
     tiny = jax.jit(lambda v: v + 1.0)
@@ -47,7 +51,8 @@ def measure(m=250, n=500, K=15, buckets=(1, 8, 64, 256), kernel="auto"):
 
     rows = []
     for S in buckets:
-        data = make_batch(kb, A, S)
+        data = make_batch(kb, A.astype(jnp.float32), S)
+        data = type(data)(*(v.astype(A.dtype) for v in data))
         forward_fn, desc = resolve_forward(m, n, m, S, kernel=kernel)
         fn = lambda b: forward_fn(params, A, b)[:2]
         t = _cal_latency(fn, data.b, hi=512)
@@ -69,8 +74,13 @@ def measure(m=250, n=500, K=15, buckets=(1, 8, 64, 256), kernel="auto"):
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--dtype", choices=["float32", "bfloat16"],
+                    default="float32")
     args = ap.parse_args(argv)
-    result = measure()
+    result = measure(
+        dtype=jnp.bfloat16 if args.dtype == "bfloat16" else None
+    )
+    result["dtype"] = args.dtype
     out = json.dumps(result, indent=2)
     print(out)
     if args.out:
