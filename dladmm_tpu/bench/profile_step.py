@@ -1,0 +1,123 @@
+"""Kernel-level profile of the flagship train step (SURVEY.md §7
+tracing row): captures a jax.profiler trace on the real chip and
+summarizes device-op time by kernel.
+
+``python -m dladmm_tpu.bench.profile_step [--out summary.json]``
+
+Writes the top device ops by total time plus the device-busy total —
+the ground truth behind BASELINE.md's step decomposition.
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import glob
+import gzip
+import json
+import sys
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def capture(steps: int = 12):
+    from dladmm_tpu.data.synthetic import make_batch, make_dictionary
+    from dladmm_tpu.models.unroll import init_dladmm_params
+    from dladmm_tpu.train.loop import loss_fn, make_train_state
+    from dladmm_tpu.utils import profiling
+
+    m, n, K, S = 1000, 2000, 20, 1024
+    key = jax.random.PRNGKey(0)
+    kA, kb = jax.random.split(key)
+    A = make_dictionary(kA, m, n)
+    params = init_dladmm_params(A, K=K)
+    data = make_batch(kb, A, S)
+    opt = optax.adam(1e-3)
+    bf = jnp.bfloat16
+    A_c, b_c = A.astype(bf), data.b.astype(bf)
+
+    def step(state):
+        def wrapped(cp):
+            return loss_fn(
+                cp, A_c, b_c, data.x_star, data.e_star, vjp="manual"
+            )
+
+        loss, grads = jax.value_and_grad(wrapped)(state.compute_params)
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        cp = jax.tree.map(lambda v: v.astype(bf), new_params)
+        return type(state)(new_params, opt_state, state.step + 1, cp)
+
+    @jax.jit
+    def run(state):
+        state = jax.lax.fori_loop(0, steps, lambda _, s: step(s), state)
+        return jnp.sum(state.params.beta)
+
+    state0 = make_train_state(params, opt, bf)
+    float(run(state0))  # compile + warm
+
+    tmpdir = tempfile.mkdtemp(prefix="dladmm_prof_")
+    with profiling.trace(tmpdir):
+        float(run(state0))
+    return tmpdir, steps
+
+
+def summarize(trace_dir: str, steps: int, top: int = 20):
+    f = glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)[0]
+    tr = json.load(gzip.open(f))
+    # Map pid -> process name; keep only the TPU device lane.
+    pnames = {}
+    for e in tr["traceEvents"]:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pnames[e["pid"]] = e["args"].get("name", "")
+    tpu_pids = {p for p, nm in pnames.items() if "TPU" in nm}
+    import re
+
+    per_op = collections.Counter()
+    step_total = 0.0
+    container = re.compile(r"^(jit_|while[.\d]*$|body|cond|\d+$)")
+    for e in tr["traceEvents"]:
+        if e.get("ph") != "X" or e.get("pid") not in tpu_pids or "dur" not in e:
+            continue
+        name = e["name"]
+        if name.startswith("jit_run"):
+            step_total += e["dur"]  # whole chained run (outermost scope)
+        if container.match(name):
+            continue  # nested container scopes double-count their leaves
+        per_op[name] += e["dur"]
+    leaf_total = sum(per_op.values())
+    rows = [
+        {
+            "op": name[:90],
+            "per_step_us": round(us / steps, 2),
+            "pct_of_leaf_time": round(100 * us / max(leaf_total, 1e-9), 1),
+        }
+        for name, us in per_op.most_common(top)
+    ]
+    return {
+        "step_total_us": round(step_total / steps, 1),
+        "leaf_op_us_per_step": round(leaf_total / steps, 1),
+        "steps_profiled": steps,
+        "top_ops": rows,
+    }
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args(argv)
+    trace_dir, steps = capture()
+    result = summarize(trace_dir, steps)
+    out = json.dumps(result, indent=2)
+    print(out)
+    if args.out:
+        with open(args.out, "w") as fh:
+            fh.write(out + "\n")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
