@@ -112,6 +112,37 @@ def main() -> None:
         make_train_state(params, optimizer),
     )
 
+    # Secondary: the paper's own config (A 250x500, batch 64, K=15)
+    # through the full-Pallas training step (fwd+bwd megakernels).
+    from dladmm_tpu.ops.pallas_unroll import make_unrolled_forward
+
+    m2, n2, K2, S2 = 250, 500, 15, 64
+    A2 = make_dictionary(kA, m2, n2)
+    p2 = init_dladmm_params(A2, K=K2)
+    d2 = make_batch(kb, A2, S2)
+    opt2 = optax.adam(1e-3)
+    mega = make_unrolled_forward()
+
+    def ref_step(state):
+        def loss(p):
+            x, z, _ = mega(p, A2, d2.b)
+            return jnp.mean((x - d2.x_star) ** 2) + jnp.mean(
+                (z - d2.e_star) ** 2
+            )
+
+        loss_v, grads = jax.value_and_grad(loss)(state.params)
+        updates, opt_state = opt2.update(grads, state.opt_state, state.params)
+        return TrainState(
+            optax.apply_updates(state.params, updates),
+            opt_state,
+            state.step + 1,
+            state.compute_params,
+        )
+
+    t_ref = _chained_train_time(
+        ref_step, make_train_state(p2, opt2), iters=512
+    )
+
     value = K * S / t_fast
     print(
         json.dumps(
@@ -123,8 +154,11 @@ def main() -> None:
                 "detail": {
                     "train_step_ms": round(t_fast * 1e3, 3),
                     "straight_port_train_step_ms": round(t_port * 1e3, 3),
+                    "paper_config_full_pallas_step_us": round(t_ref * 1e6, 1),
+                    "paper_config_layer_iter_per_s": round(K2 * S2 / t_ref, 1),
                     "device": str(jax.devices()[0]),
-                    "timing": "device-chained, scalar-fetch synced",
+                    "timing": "device-chained, two-point calibrated, "
+                    "scalar-fetch synced",
                 },
             }
         )
