@@ -98,6 +98,24 @@ def unroll_fits_vmem(
     return 2 * layer_w + a_bytes + state <= _VMEM_BUDGET_BYTES
 
 
+def traj_fits_vmem(m: int, n: int, d: int, S: int, itemsize: int = 4) -> bool:
+    """The trajectory VARIANT (the VJP forward) needs more VMEM than the
+    inference kernel: fp32 working scratch for the full state PLUS
+    double-buffered per-layer output blocks for the 4 trajectory stacks.
+    Shapes can pass unroll_fits_vmem but fail this (e.g. 64x256 patches
+    at S~4k) — the VJP forward then falls back to an XLA scan while the
+    backward stays manual."""
+    layer_w = 2 * (n * m + d * m) * 4
+    a_bytes = m * n * 4
+    scratch = S * (n + d + 2 * m) * 4  # fp32 x,z,lam,Ax working state
+    out_blocks = 2 * S * (n + d + 2 * m) * itemsize  # traj slices, db
+    temps = S * max(n, d) * 4
+    return (
+        layer_w + a_bytes + scratch + out_blocks + temps
+        <= _VMEM_BUDGET_BYTES
+    )
+
+
 def _unrolled_forward_pallas(
     params: DLADMMParams,
     A: Array,
@@ -218,6 +236,35 @@ def _unroll_traj_kernel(
     tax_ref[0] = ax1.astype(tax_ref.dtype)
 
 
+def _traj_xla(params, A, b):
+    """XLA-scan trajectory with the same (tx, tz, tlam, tax) layout —
+    the VJP-forward fallback when the trajectory kernel's VMEM working
+    set doesn't fit (traj_fits_vmem)."""
+    from dladmm_tpu.ops.reference import (
+        LayerParams,
+        dladmm_layer_step_cached,
+    )
+
+    S = b.shape[0]
+    n = params.W1.shape[1]
+    x = jnp.zeros((S, n), b.dtype)
+    z = jnp.zeros_like(b)
+    lam = jnp.zeros_like(b)
+    Ax = jnp.zeros_like(b)
+
+    def body(carry, p):
+        x, z, lam, Ax, Bz = carry
+        x, z, lam, Ax, Bz = dladmm_layer_step_cached(
+            A, None, b, x, z, lam, Ax, Bz, p
+        )
+        return (x, z, lam, Ax, Bz), (x, z, lam, Ax)
+
+    _, traj = jax.lax.scan(
+        body, (x, z, lam, Ax, z), LayerParams(*params)
+    )
+    return traj
+
+
 def _traj_pallas(params, A, b, *, matmul_dtype, interpret):
     """Run the trajectory megakernel; returns stacked (tx, tz, tlam, tax)
     of shape (K, S, ·) — the full carry trajectory, which is exactly the
@@ -274,6 +321,18 @@ def _traj_pallas(params, A, b, *, matmul_dtype, interpret):
     )(b, A, params.W1, params.W2, th1, th2, beta)
 
 
+def _traj_any(params, A, b, *, matmul_dtype, interpret):
+    """Trajectory via the megakernel when its working set fits VMEM,
+    else the XLA-scan fallback (identical layout and math)."""
+    K, n, m = params.W1.shape
+    d = params.W2.shape[1]
+    if interpret or traj_fits_vmem(m, n, d, b.shape[0], b.dtype.itemsize):
+        return _traj_pallas(
+            params, A, b, matmul_dtype=matmul_dtype, interpret=interpret
+        )
+    return _traj_xla(params, A, b)
+
+
 def make_unrolled_trajectory(
     matmul_dtype=None, interpret: Optional[bool] = None
 ):
@@ -287,13 +346,13 @@ def make_unrolled_trajectory(
 
     @jax.custom_vjp
     def trajectory(params, A, b):
-        tx, tz, tlam, _ = _traj_pallas(
+        tx, tz, tlam, _ = _traj_any(
             params, A, b, matmul_dtype=matmul_dtype, interpret=interpret
         )
         return tx, tz, tlam
 
     def fwd(params, A, b):
-        tx, tz, tlam, tax = _traj_pallas(
+        tx, tz, tlam, tax = _traj_any(
             params, A, b, matmul_dtype=matmul_dtype, interpret=interpret
         )
         return (tx, tz, tlam), (params, A, b, (tx, tz, tlam, tax))
@@ -344,7 +403,7 @@ def make_unrolled_forward(matmul_dtype=None, interpret: Optional[bool] = None):
         )
 
     def fwd(params, A, b):
-        tx, tz, tlam, tax = _traj_pallas(
+        tx, tz, tlam, tax = _traj_any(
             params, A, b, matmul_dtype=matmul_dtype, interpret=interpret
         )
         out = (tx[-1], tz[-1], tlam[-1])

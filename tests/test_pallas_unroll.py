@@ -89,3 +89,17 @@ def test_trajectory_megakernel_grads():
     )
     for a, b in zip(gp, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+def test_traj_fits_vmem_gates_vjp_forward():
+    """The trajectory (VJP-forward) variant needs more VMEM than the
+    inference kernel; shapes like 64x256 patches at S~4k must fall back
+    (regression for a real-TPU scoped-vmem OOM)."""
+    from dladmm_tpu.ops.pallas_unroll import traj_fits_vmem, unroll_fits_vmem
+
+    # Inference kernel fits but the trajectory variant must not.
+    assert unroll_fits_vmem(64, 256, 64, 3844)
+    assert not traj_fits_vmem(64, 256, 64, 3844)
+    # Reference config fits both.
+    assert unroll_fits_vmem(250, 500, 250, 64)
+    assert traj_fits_vmem(250, 500, 250, 64)
