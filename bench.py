@@ -19,7 +19,6 @@ choices. vs_baseline = straight-port time / framework time.
 from __future__ import annotations
 
 import json
-import time
 
 import jax
 import jax.numpy as jnp
@@ -39,7 +38,12 @@ def _chained_train_time(step, state0, iters=32):
 def main() -> None:
     from dladmm_tpu.data.synthetic import make_batch, make_dictionary
     from dladmm_tpu.models.unroll import init_dladmm_params
-    from dladmm_tpu.train.loop import TrainState, loss_fn, make_train_state
+    from dladmm_tpu.train.loop import (
+        TrainState,
+        loss_fn,
+        make_train_state,
+        make_train_step_from_batch,
+    )
 
     m, n, K, S = 1000, 2000, 20, 1024
     key = jax.random.PRNGKey(0)
@@ -49,7 +53,6 @@ def main() -> None:
     data = make_batch(kb, A, S)
     optimizer = optax.adam(1e-3)
     bf = jnp.bfloat16
-    A_c, b_c = A.astype(bf), data.b.astype(bf)
 
     def make_step(precision, compute_dtype=None, vjp="auto"):
         """Straight-port-style step: loss (optionally casting inside) on
@@ -81,24 +84,15 @@ def main() -> None:
 
         return step
 
+    # Framework path = the SHIPPED step (train/loop.py): mixed-precision
+    # manual-VJP loss on the persistent bf16 copy, fp32-master Adam.
+    shipped = make_train_step_from_batch(
+        optimizer, A, vjp="manual", compute_dtype=bf, donate=False
+    )
+
     def fast_step(state):
-        """Framework path = train/loop.py's mixed-precision design:
-        loss/backward on the persistent bf16 param copy (manual reverse-
-        scan VJP), bf16 grads into fp32-master Adam via per-op promotion,
-        copy refreshed in the same fused pass — no per-step cast churn."""
-
-        def wrapped(cp):
-            return loss_fn(
-                cp, A_c, b_c, data.x_star, data.e_star, vjp="manual"
-            )
-
-        loss, grads = jax.value_and_grad(wrapped)(state.compute_params)
-        updates, opt_state = optimizer.update(
-            grads, state.opt_state, state.params
-        )
-        new_params = optax.apply_updates(state.params, updates)
-        cp = jax.tree.map(lambda v: v.astype(bf), new_params)
-        return TrainState(new_params, opt_state, state.step + 1, cp)
+        new_state, _ = shipped(state, data)
+        return new_state
 
     # Framework path: bf16 unroll state (fp32 masters) + manual VJP.
     # Quality parity for these choices is measured in BASELINE.md.

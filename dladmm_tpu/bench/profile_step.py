@@ -26,7 +26,10 @@ import optax
 def capture(steps: int = 12):
     from dladmm_tpu.data.synthetic import make_batch, make_dictionary
     from dladmm_tpu.models.unroll import init_dladmm_params
-    from dladmm_tpu.train.loop import loss_fn, make_train_state
+    from dladmm_tpu.train.loop import (
+        make_train_state,
+        make_train_step_from_batch,
+    )
     from dladmm_tpu.utils import profiling
 
     m, n, K, S = 1000, 2000, 20, 1024
@@ -37,23 +40,16 @@ def capture(steps: int = 12):
     data = make_batch(kb, A, S)
     opt = optax.adam(1e-3)
     bf = jnp.bfloat16
-    A_c, b_c = A.astype(bf), data.b.astype(bf)
-
-    def step(state):
-        def wrapped(cp):
-            return loss_fn(
-                cp, A_c, b_c, data.x_star, data.e_star, vjp="manual"
-            )
-
-        loss, grads = jax.value_and_grad(wrapped)(state.compute_params)
-        updates, opt_state = opt.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        cp = jax.tree.map(lambda v: v.astype(bf), new_params)
-        return type(state)(new_params, opt_state, state.step + 1, cp)
+    # The SHIPPED mixed-precision step (same as bench.py's fast path).
+    shipped = make_train_step_from_batch(
+        opt, A, vjp="manual", compute_dtype=bf, donate=False
+    )
 
     @jax.jit
     def run(state):
-        state = jax.lax.fori_loop(0, steps, lambda _, s: step(s), state)
+        state = jax.lax.fori_loop(
+            0, steps, lambda _, s: shipped(s, data)[0], state
+        )
         return jnp.sum(state.params.beta)
 
     state0 = make_train_state(params, opt, bf)

@@ -67,6 +67,7 @@ def time_chained(
     del warmup
     if not calibrate:
         return _run_chained(step, init_carry, iters, repeats) / iters
+    iters = max(iters, 4)  # the slope needs lo < iters
     # Relay noise can make a short pair non-monotone; lengthen the chain
     # until the slope is positive (every caller gets this guard).
     for _ in range(4):

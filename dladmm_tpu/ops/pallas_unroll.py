@@ -181,19 +181,21 @@ def _unroll_traj_kernel(
     th1_ref,
     th2_ref,
     beta_ref,
-    # outputs: per-layer snapshots, k-indexed blocks
-    tx_ref,  # (1, S, n)
-    tz_ref,  # (1, S, d)
-    tlam_ref,  # (1, S, m)
-    tax_ref,  # (1, S, m) — Ax carry, consumed by the manual backward
-    # scratch: resident working state across all K grid steps
-    x_s,
-    z_s,
-    lam_s,
-    ax_s,
-    *,
+    # outputs: per-layer snapshots, k-indexed blocks —
+    #   tx (1,S,n), tz (1,S,d), tlam (1,S,m) and, with_tax only,
+    #   tax (1,S,m) (the Ax carry the manual backward consumes);
+    # then scratch: resident working state across all K grid steps.
+    # Inference trajectories skip tax — pallas outputs cannot be DCE'd,
+    # so emitting it unconditionally would waste a K*S*m HBM write.
+    *refs,
     matmul_dtype,
+    with_tax,
 ):
+    if with_tax:
+        tx_ref, tz_ref, tlam_ref, tax_ref, x_s, z_s, lam_s, ax_s = refs
+    else:
+        tx_ref, tz_ref, tlam_ref, x_s, z_s, lam_s, ax_s = refs
+        tax_ref = None
     k = pl.program_id(0)
 
     @pl.when(k == 0)
@@ -233,7 +235,8 @@ def _unroll_traj_kernel(
     tx_ref[0] = x1.astype(tx_ref.dtype)
     tz_ref[0] = z1.astype(tz_ref.dtype)
     tlam_ref[0] = lam1.astype(tlam_ref.dtype)
-    tax_ref[0] = ax1.astype(tax_ref.dtype)
+    if tax_ref is not None:
+        tax_ref[0] = ax1.astype(tax_ref.dtype)
 
 
 def _traj_xla(params, A, b):
@@ -265,10 +268,12 @@ def _traj_xla(params, A, b):
     return traj
 
 
-def _traj_pallas(params, A, b, *, matmul_dtype, interpret):
-    """Run the trajectory megakernel; returns stacked (tx, tz, tlam, tax)
-    of shape (K, S, ·) — the full carry trajectory, which is exactly the
-    residual set the manual backward needs (ops/unroll_vjp.py)."""
+def _traj_pallas(params, A, b, *, matmul_dtype, interpret, with_tax=True):
+    """Run the trajectory megakernel; returns stacked (tx, tz, tlam[,
+    tax]) of shape (K, S, ·) — the full carry trajectory, which is
+    exactly the residual set the manual backward needs
+    (ops/unroll_vjp.py). with_tax=False (inference trajectories) skips
+    the Ax stack and its HBM write."""
     K, n, m = params.W1.shape
     d = params.W2.shape[1]
     S = b.shape[0]
@@ -287,8 +292,21 @@ def _traj_pallas(params, A, b, *, matmul_dtype, interpret):
         lambda k: (k,) + (0,) * len(dims),
         memory_space=pltpu.VMEM,
     )
+    out_specs = [per_layer(S, n), per_layer(S, d), per_layer(S, m)]
+    out_shape = [
+        jax.ShapeDtypeStruct((K, S, n), b.dtype),
+        jax.ShapeDtypeStruct((K, S, d), b.dtype),
+        jax.ShapeDtypeStruct((K, S, m), b.dtype),
+    ]
+    if with_tax:
+        out_specs.append(per_layer(S, m))
+        out_shape.append(jax.ShapeDtypeStruct((K, S, m), b.dtype))
     return pl.pallas_call(
-        functools.partial(_unroll_traj_kernel, matmul_dtype=matmul_dtype),
+        functools.partial(
+            _unroll_traj_kernel,
+            matmul_dtype=matmul_dtype,
+            with_tax=with_tax,
+        ),
         grid=(K,),
         in_specs=[
             whole((S, m)),
@@ -299,18 +317,8 @@ def _traj_pallas(params, A, b, *, matmul_dtype, interpret):
             per_layer(1, d),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=[
-            per_layer(S, n),
-            per_layer(S, d),
-            per_layer(S, m),
-            per_layer(S, m),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((K, S, n), b.dtype),
-            jax.ShapeDtypeStruct((K, S, d), b.dtype),
-            jax.ShapeDtypeStruct((K, S, m), b.dtype),
-            jax.ShapeDtypeStruct((K, S, m), b.dtype),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((S, n), jnp.float32),
             pltpu.VMEM((S, d), jnp.float32),
@@ -321,16 +329,22 @@ def _traj_pallas(params, A, b, *, matmul_dtype, interpret):
     )(b, A, params.W1, params.W2, th1, th2, beta)
 
 
-def _traj_any(params, A, b, *, matmul_dtype, interpret):
+def _traj_any(params, A, b, *, matmul_dtype, interpret, with_tax=True):
     """Trajectory via the megakernel when its working set fits VMEM,
     else the XLA-scan fallback (identical layout and math)."""
     K, n, m = params.W1.shape
     d = params.W2.shape[1]
     if interpret or traj_fits_vmem(m, n, d, b.shape[0], b.dtype.itemsize):
         return _traj_pallas(
-            params, A, b, matmul_dtype=matmul_dtype, interpret=interpret
+            params,
+            A,
+            b,
+            matmul_dtype=matmul_dtype,
+            interpret=interpret,
+            with_tax=with_tax,
         )
-    return _traj_xla(params, A, b)
+    traj = _traj_xla(params, A, b)  # unused ys are DCE'd by XLA
+    return traj if with_tax else traj[:3]
 
 
 def make_unrolled_trajectory(
@@ -346,8 +360,13 @@ def make_unrolled_trajectory(
 
     @jax.custom_vjp
     def trajectory(params, A, b):
-        tx, tz, tlam, _ = _traj_any(
-            params, A, b, matmul_dtype=matmul_dtype, interpret=interpret
+        tx, tz, tlam = _traj_any(
+            params,
+            A,
+            b,
+            matmul_dtype=matmul_dtype,
+            interpret=interpret,
+            with_tax=False,
         )
         return tx, tz, tlam
 

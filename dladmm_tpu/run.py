@@ -107,6 +107,11 @@ def main(argv=None) -> int:
         # The manual reverse-scan VJP replaces the whole forward+backward;
         # it is exclusive with megakernel/fused-step forward selection.
         forward_fn, step_fn, desc = None, None, "manual-vjp-reverse-scan"
+    elif cfg.train.vjp == "xla":
+        # Forcing XLA autodiff also means no Pallas forward: the
+        # megakernel/fused-step custom_vjps route through the manual
+        # backward, which would defeat the comparison.
+        forward_fn, step_fn, desc = None, None, "xla-scan-autodiff"
     else:
         forward_fn, step_fn, desc = select_forward(
             p.m,

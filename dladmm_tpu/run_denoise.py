@@ -175,6 +175,11 @@ def main(argv=None) -> int:
     ap.add_argument("--size", type=int, default=128)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
+    if args.dict_mat and args.dictionary == "learned":
+        ap.error(
+            "--dict-mat and --dict=learned are mutually exclusive: the "
+            "fixture would be silently re-learned away"
+        )
     if args.quick:
         args.steps, args.images, args.size, args.layers = 60, 2, 64, 8
 

@@ -236,30 +236,67 @@ def make_train_step_from_batch(
     forward_fn=None,
     donate: bool = True,
     vjp: str = "auto",
+    compute_dtype=None,
 ) -> Callable[[TrainState, Any], tuple]:
     """Train step fed an explicit SyntheticBatch (for sharded/multi-host
     runs where the batch is built host-locally and device_put with a
-    'data'-axis sharding — SURVEY.md §5.5)."""
+    'data'-axis sharding — SURVEY.md §5.5; also the step bench.py and
+    bench/profile_step.py measure, so the benchmarked step IS the
+    shipped one).
+
+    compute_dtype follows make_train_step's mixed-precision design:
+    build the state with make_train_state(..., compute_dtype=...) and
+    the loss/backward run on the persistent low-precision copy.
+    """
+    A_c = A if compute_dtype is None else A.astype(compute_dtype)
+    B_c = (
+        B if B is None or compute_dtype is None else B.astype(compute_dtype)
+    )
 
     def _step(state: TrainState, data):
-        loss, grads = jax.value_and_grad(loss_fn)(
-            state.params,
-            A,
-            data.b,
-            data.x_star,
-            data.e_star,
-            B,
-            layer_weights,
-            step_fn,
-            forward_fn,
-            None,
-            vjp,
-        )
+        if compute_dtype is None and state.compute_params is not None:
+            raise ValueError(
+                "state carries compute_params but the step was built "
+                "without compute_dtype (see make_train_step)"
+            )
+        if compute_dtype is not None and state.compute_params is not None:
+            loss, grads = jax.value_and_grad(loss_fn)(
+                state.compute_params,
+                A_c,
+                data.b.astype(compute_dtype),
+                data.x_star,
+                data.e_star,
+                B_c,
+                layer_weights,
+                step_fn,
+                forward_fn,
+                None,
+                vjp,
+            )
+        else:
+            loss, grads = jax.value_and_grad(loss_fn)(
+                state.params,
+                A,
+                data.b,
+                data.x_star,
+                data.e_star,
+                B,
+                layer_weights,
+                step_fn,
+                forward_fn,
+                compute_dtype,
+                vjp,
+            )
         updates, opt_state = optimizer.update(
             grads, state.opt_state, state.params
         )
         params = optax.apply_updates(state.params, updates)
-        return TrainState(params, opt_state, state.step + 1), loss
+        cp = (
+            None
+            if state.compute_params is None
+            else jax.tree.map(lambda v: v.astype(compute_dtype), params)
+        )
+        return TrainState(params, opt_state, state.step + 1, cp), loss
 
     return jax.jit(_step, donate_argnums=(0,) if donate else ())
 
@@ -307,6 +344,24 @@ def evaluate(
     return jax.tree.map(lambda v: jax.device_get(v), out)
 
 
+def _build_optimizer(t) -> optax.GradientTransformation:
+    """Adam + the TrainConfig's lr schedule and gradient clipping —
+    shared by fit and fit_sharded so sharded runs get the same
+    stability treatment (clip_norm exists because long runs can go
+    spectrally unstable — utils/config.py)."""
+    if t.lr_schedule == "cosine":
+        lr = optax.warmup_cosine_decay_schedule(
+            0.0, t.lr, max(1, t.steps // 20), t.steps
+        )
+    else:
+        lr = t.lr
+    optimizer = optax.adam(lr)
+    clip = getattr(t, "clip_norm", None)
+    if clip:
+        optimizer = optax.chain(optax.clip_by_global_norm(clip), optimizer)
+    return optimizer
+
+
 def fit(
     config,
     A: Optional[Array] = None,
@@ -336,18 +391,7 @@ def fit(
     B = None  # identity_B benchmark path; general B via explicit arg
 
     params = init_dladmm_params(A, B, K=p.K, beta=p.beta, dtype=dtype)
-    if t.lr_schedule == "cosine":
-        lr = optax.warmup_cosine_decay_schedule(
-            0.0, t.lr, max(1, t.steps // 20), t.steps
-        )
-    else:
-        lr = t.lr
-    optimizer = optax.adam(lr)
-    clip = getattr(t, "clip_norm", None)
-    if clip:
-        optimizer = optax.chain(
-            optax.clip_by_global_norm(clip), optimizer
-        )
+    optimizer = _build_optimizer(t)
 
     layer_weights = None
     if t.layer_loss == "uniform":
@@ -424,6 +468,19 @@ def fit(
                     state._replace(compute_params=None),
                     step=i + 1,
                 )
+    if not history:
+        # Resumed at (or past) the final step: report the restored
+        # model's metrics instead of returning an empty history.
+        ev = evaluate(state.params, A, eval_data, B, step_fn=step_fn)
+        rec = {
+            "step": int(state.step),
+            "loss": float("nan"),
+            "nmse_db": float(ev["nmse_db"]),
+            "residual": float(ev["residual"]),
+        }
+        history.append({**rec, "curves": ev})
+        if log_fn:
+            log_fn(rec)
     return state.params, history
 
 
@@ -459,6 +516,20 @@ def fit_sharded(config, A: Optional[Array] = None, log_fn=None):
     )
 
     p, t, s = config.problem, config.train, config.sharding
+    unsupported = {
+        "compute_dtype": t.compute_dtype != "float32",
+        "layer_loss": t.layer_loss is not None,
+        "freeze": bool(t.freeze),
+        "kernel": t.kernel != "auto",
+        "vjp": getattr(t, "vjp", "auto") != "auto",
+    }
+    bad = [k for k, v in unsupported.items() if v]
+    if bad:
+        raise ValueError(
+            f"fit_sharded does not support TrainConfig fields {bad} yet "
+            "(the sharded step uses XLA autodiff through the explicit-"
+            "collective forward); unset them for sharded configs"
+        )
     if s.multihost:
         initialize_distributed()
     n_needed = s.data_axis * s.model_axis
@@ -489,7 +560,7 @@ def fit_sharded(config, A: Optional[Array] = None, log_fn=None):
         init_dladmm_params(A, K=p.K, beta=p.beta, dtype=dtype),
         sh["params"],
     )
-    optimizer = optax.adam(t.lr)
+    optimizer = _build_optimizer(t)  # honors lr_schedule + clip_norm
     state = TrainState(
         params, optimizer.init(params), jnp.zeros((), jnp.int32)
     )
