@@ -91,10 +91,13 @@ def _tp_forward_local(params, A_t, b):
     # Zero carries must carry the same varying-axes (vma) types as the
     # step outputs: x varies over both mesh axes, the m-sized state over
     # 'data' only (Ax is psum'd over 'model' each layer).
-    x = jax.lax.pvary(jnp.zeros((S, n_t), b.dtype), (DATA_AXIS, MODEL_AXIS))
-    z = jax.lax.pvary(jnp.zeros((S, m), b.dtype), (DATA_AXIS,))
-    lam = jax.lax.pvary(jnp.zeros((S, m), b.dtype), (DATA_AXIS,))
-    Ax = jax.lax.pvary(jnp.zeros((S, m), b.dtype), (DATA_AXIS,))
+    def vary(val, axes):
+        return jax.lax.pcast(val, axes, to="varying")
+
+    x = vary(jnp.zeros((S, n_t), b.dtype), (DATA_AXIS, MODEL_AXIS))
+    z = vary(jnp.zeros((S, m), b.dtype), (DATA_AXIS,))
+    lam = vary(jnp.zeros((S, m), b.dtype), (DATA_AXIS,))
+    Ax = vary(jnp.zeros((S, m), b.dtype), (DATA_AXIS,))
 
     def body(carry, p):
         x, z, lam, Ax = carry
