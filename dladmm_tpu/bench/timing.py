@@ -54,6 +54,7 @@ def time_chained(
     warmup: bool = True,  # kept for API compat; warmup always happens
     repeats: int = 3,
     calibrate: bool = True,
+    strict: bool = False,
 ) -> float:
     """Seconds per iteration of ``carry -> step(carry)`` chained on device.
 
@@ -63,6 +64,12 @@ def time_chained(
     is cancelled by measuring at two iteration counts and taking the
     slope; calibrate=False returns the naive t/iters (inflated by RTT/
     iters — only useful for very slow steps).
+
+    If the slope stays non-positive after four chain-doublings (relay
+    noise), the default strict=False falls back to the naive long-chain
+    estimate with a warning (an upper bound: inflated by RTT/iters) so
+    one noisy measurement cannot abort a whole multi-shape bench sweep;
+    strict=True raises instead.
     """
     del warmup
     if not calibrate:
@@ -70,6 +77,7 @@ def time_chained(
     iters = max(iters, 4)  # the slope needs lo < iters
     # Relay noise can make a short pair non-monotone; lengthen the chain
     # until the slope is positive (every caller gets this guard).
+    t_hi = None
     for _ in range(4):
         lo = max(1, iters // 4)
         t_lo = _run_chained(step, init_carry, lo, repeats)
@@ -78,7 +86,18 @@ def time_chained(
         if slope > 0:
             return slope
         iters *= 2
-    raise RuntimeError(
-        "calibrated timing: no positive slope after lengthening chains "
-        "(relay too noisy or step too fast)"
+    if strict:
+        raise RuntimeError(
+            "calibrated timing: no positive slope after lengthening chains "
+            "(relay too noisy or step too fast)"
+        )
+    import warnings
+
+    # iters was doubled once past the last run; the last t_hi used iters//2.
+    naive = t_hi / (iters // 2)
+    warnings.warn(
+        "calibrated timing: no positive slope after lengthening chains; "
+        f"falling back to UNCALIBRATED estimate {naive:.3e}s/iter "
+        "(upper bound — includes dispatch RTT/iters)"
     )
+    return naive

@@ -62,6 +62,7 @@ def load_mat_dictionary(
     key: Optional[str] = None,
     normalize: bool = True,
     dtype=jnp.float32,
+    transpose="auto",
 ) -> Array:
     """Load a (m, n) dictionary from a .mat file (the reference's learned
     patch dictionary format). key=None auto-picks the single 2-D array.
@@ -70,13 +71,27 @@ def load_mat_dictionary(
     init_dladmm_params's spectral-norm step sizes; the reference's
     dictionaries are trained column-normalized so this is a no-op for
     well-formed fixtures.
+
+    transpose: "auto" (default) transposes tall (m > n) arrays on the
+    assumption an overcomplete dictionary is stored transposed, with a
+    warning; True always transposes; False never does (use for genuinely
+    undercomplete/tall dictionaries).
     """
     D = _pick_var(_load_mat(path), key, "dictionary").astype(np.float64)
     if D.ndim != 2:
         raise ValueError(f"dictionary must be 2-D, got shape {D.shape}")
-    if D.shape[0] > D.shape[1]:
+    if transpose is True:
+        D = D.T
+    elif transpose == "auto" and D.shape[0] > D.shape[1]:
         # Overcomplete dictionaries are wide (m < n); a tall array is
         # almost certainly stored transposed.
+        import warnings
+
+        warnings.warn(
+            f"{path}: tall {D.shape} array auto-transposed to "
+            f"{D.shape[::-1]} (overcomplete dictionaries are wide); pass "
+            "transpose=False if it is a genuinely undercomplete dictionary"
+        )
         D = D.T
     if normalize:
         norms = np.linalg.norm(D, axis=0, keepdims=True)

@@ -126,7 +126,7 @@ def dladmm_layer_step_cached(
     """Layer step carrying A x_k and B z_k across layers.
 
     Mathematically identical to dladmm_layer_step (pinned by
-    tests/test_unroll_cached.py) but eliminates one of the two A-matvecs
+    tests/test_unroll.py) but eliminates one of the two A-matvecs
     per layer: the dual update's A x_{k+1} is exactly the A x needed by
     layer k+1's residual, so the scan carries (Ax, Bz) alongside the
     state — ~33% fewer matmul FLOPs than the reference recurrence at

@@ -69,13 +69,15 @@ def main(argv=None) -> int:
         # Sharded presets (tp_large, multihost): DP x TP mesh training
         # with explicit collectives; final metrics only (no per-layer
         # curve — see fit_sharded docstring).
+        # Explicitly passing the no-op defaults (--vjp auto, --kernel
+        # auto) is accepted — only non-default values are rejected.
         unsupported = {
             "--ckpt-dir": args.ckpt_dir,
             "--resume": args.resume or None,
             "--plot": args.plot,
             "--layer-loss": args.layer_loss,
-            "--kernel": args.kernel,
-            "--vjp": args.vjp,
+            "--kernel": args.kernel if args.kernel != "auto" else None,
+            "--vjp": args.vjp if args.vjp != "auto" else None,
         }
         bad = [k for k, v in unsupported.items() if v]
         if bad:

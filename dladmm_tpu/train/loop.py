@@ -112,6 +112,13 @@ def loss_fn(
             "vjp='manual' needs B=None, default step, no forward_fn, "
             "final-layer loss (no layer_weights)"
         )
+    if vjp == "xla" and (forward_fn is not None or step_fn is not None):
+        raise ValueError(
+            "vjp='xla' with a custom forward_fn/step_fn would not give XLA "
+            "autodiff: the megakernel/fused-step forwards carry custom_vjps "
+            "that route to the manual backward anyway. Pass forward_fn="
+            "step_fn=None (the pure-XLA scan) to force XLA autodiff."
+        )
     if layer_weights is None:
         if forward_fn is not None:
             x, z, _ = forward_fn(params, A, b)

@@ -57,7 +57,8 @@ def test_bf16_server_close_to_fp32():
     kA, kb = jax.random.split(key)
     A = make_dictionary(kA, 32, 64)
     params = init_dladmm_params(A, K=6)
-    b = make_batch(kb, A, 16).b
+    data = make_batch(kb, A, 16)
+    b = data.b
 
     s32 = InferenceServer(params, A, max_batch=16)
     s16 = InferenceServer(params, A, max_batch=16, dtype=jnp.bfloat16)
@@ -66,3 +67,11 @@ def test_bf16_server_close_to_fp32():
     assert x16.dtype == jnp.bfloat16
     scale = float(jnp.abs(x32).max()) + 1e-9
     assert float(jnp.abs(x16.astype(jnp.float32) - x32).max()) < 0.05 * scale
+    # Pin the advertised solution-quality delta (serve.py: "~0.1 dB NMSE
+    # [impact] at the benchmark shapes"): NMSE(dB) vs ground truth must
+    # agree between the bf16 and fp32 servers to a small fraction of a dB.
+    from dladmm_tpu.metrics.core import nmse_db
+
+    d32 = float(nmse_db(x32, data.x_star))
+    d16 = float(nmse_db(x16.astype(jnp.float32), data.x_star))
+    assert abs(d16 - d32) < 0.25, (d16, d32)
