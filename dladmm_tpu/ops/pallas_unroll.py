@@ -432,13 +432,26 @@ def make_unrolled_forward(matmul_dtype=None, interpret: Optional[bool] = None):
         params, A, b, (tx, tz, tlam, tax) = res
         K, n, m = params.W1.shape
         d = params.W2.shape[1]
-        from dladmm_tpu.ops.pallas_bwd import bwd_fits_vmem, unroll_bwd_pallas
+        from dladmm_tpu.ops.pallas_bwd import (
+            bwd_chunk_batch,
+            bwd_fits_vmem,
+            unroll_bwd_pallas,
+            unroll_bwd_pallas_chunked,
+        )
 
         if bwd_fits_vmem(m, n, d, b.shape[0], b.dtype.itemsize):
             # Full Pallas training step: cotangent state VMEM-resident
             # across the whole reverse sweep (ops/pallas_bwd.py).
             return unroll_bwd_pallas(
                 params, A, b, (tx, tz, tlam, tax), cts, interpret=interpret
+            )
+        bs = bwd_chunk_batch(m, n, d, b.shape[0], b.dtype.itemsize)
+        if bs is not None:
+            # Batch-chunked megakernel: weights stream once per layer,
+            # full-batch cotangents resident, tiles of bs samples.
+            return unroll_bwd_pallas_chunked(
+                params, A, b, (tx, tz, tlam, tax), cts, bs,
+                interpret=interpret,
             )
         from dladmm_tpu.ops.unroll_vjp import (
             bwd_from_carries,

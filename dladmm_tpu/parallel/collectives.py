@@ -1,34 +1,44 @@
-"""Explicit-collective sharded forward/training (SURVEY.md N7, §5.5, §9.2-3).
+"""Explicit-collective sharded forward/training (SURVEY.md N7, §5.5,
+§9.2-3).
 
 New TPU-first scope (the reference is single-GPU, SURVEY.md §4.1): the
 K-layer unroll runs under shard_map on a ('data','model') mesh.
 
-TP sharding algebra (SURVEY.md §9.3, worked out so each layer needs ONE
-collective):
+Two TP layouts (docs/DESIGN.md §4 records the measured trade):
 
-  sharded along 'model' (the code dimension n):   x, W1 (rows), theta1,
-                                                  A (columns)
-  replicated across 'model' (the m dimension):    z, lam, b, W2, theta2,
-                                                  beta
+layout="sharded_w2" (default — the one that fits the tp_large acceptance
+shape, BASELINE.json:10):
 
-  per layer:  u = Ax + (z - b + lam/beta)      Ax carried, replicated
-              x1_t = shrink(x_t - u @ W1_t^T)  LOCAL (W1 row-shard -> its
-                                               own slice of x1; u is
-                                               replicated so the m-
-                                               contraction is local)
-              Ax1 = psum_model(x1_t @ A_t^T)   <-- the ONE collective:
-                                               Schur-style summation of
-                                               partial matvecs over ICI
-              z1, lam1                         replicated compute (m << n
-                                               in the TP regime; cheaper
-                                               to duplicate than to
-                                               gather)
+  sharded along 'model':   x, W1 (rows over n), theta1, A (columns),
+                           W2 (rows over d), theta2  — and therefore
+                           every Adam moment of every weight.
+  replicated across it:    z, lam, b, beta, and the m-sized residual
+                           state (activations only — O(S*m), not O(K*m*m)).
+
+  per layer (B = I, d = m):
+    u   = Ax + (z - b + lam/beta)                 replicated elementwise
+    x1_t = shrink(x_t - u @ W1_t^T, th1_t)        LOCAL (1/T of FLOPs)
+    Ax1 = psum_model(x1_t @ A_t^T)                collective 1 (S, m)
+    v   = Ax1 + base                              replicated elementwise
+    z1_t = shrink(z[:, slice_t] - v @ W2_t^T)     LOCAL (1/T of FLOPs)
+    z1  = all_gather_model(z1_t)                  collective 2 (S, m/T each)
+    lam1 = lam + beta (Ax1 + z1 - b)              replicated elementwise
+
+  Two collectives/layer, but ALL three matmuls are 1/T per chip and no
+  weight (or moment) is replicated — the round-1 layout's ~16.1 GB/chip
+  of replicated W2+moments at tp_large becomes ~4 GB sharded
+  (parallel/memory.py audits this at startup).
+
+layout="replicated_w2" (round-1 layout, kept for the trade measurement
+and for small-m shapes where W2 is tiny): W2/theta2 replicated, z-side
+compute duplicated on every chip, ONE collective per layer (the Ax1
+psum). Infeasible at tp_large (VERDICT r1 what's-missing #1).
 
 DP: batch sharded along 'data'; the only cross-data communication is the
 loss/metric psum, whose transpose gives the gradient allreduce.
 Gradient correctness across replicated params relies on shard_map's
 replication tracking inserting the transposition psums — pinned against
-single-device autodiff by tests/test_distributed.py.
+single-device autodiff by tests/test_distributed.py for both layouts.
 """
 
 from __future__ import annotations
@@ -46,124 +56,456 @@ from dladmm_tpu.models.unroll import DLADMMParams
 from dladmm_tpu.ops.reference import LayerParams, shrink
 from dladmm_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
-# shard_map specs (match parallel.mesh.param_shardings_tp).
-PARAM_SPECS = DLADMMParams(
-    W1=P(None, MODEL_AXIS, None),
-    W2=P(None, None, None),
-    theta1=P(None, MODEL_AXIS),
-    theta2=P(None, None),
-    beta=P(None),
-)
+LAYOUTS = ("sharded_w2", "replicated_w2")
+
+
+def param_specs(layout: str = "sharded_w2") -> DLADMMParams:
+    if layout not in LAYOUTS:
+        raise ValueError(f"layout must be one of {LAYOUTS}, got {layout!r}")
+    w2_ax = MODEL_AXIS if layout == "sharded_w2" else None
+    return DLADMMParams(
+        W1=P(None, MODEL_AXIS, None),
+        W2=P(None, w2_ax, None),
+        theta1=P(None, MODEL_AXIS),
+        theta2=P(None, w2_ax),
+        beta=P(None),
+    )
+
+
+# Round-1 compat name (replicated-W2 specs).
+PARAM_SPECS = param_specs("replicated_w2")
 A_SPEC = P(None, MODEL_AXIS)
 B_SPEC = P(DATA_AXIS, None)  # observations (S, m)
 X_SPEC = P(DATA_AXIS, MODEL_AXIS)  # codes (S, n)
 Z_SPEC = P(DATA_AXIS, None)  # corruption (S, m)
 
+_vary = functools.partial(jax.lax.pcast, to="varying")
 
-def _tp_layer_step(A_t, b, x_t, z, lam, Ax, p: LayerParams):
-    """One D-LADMM layer on local shards (B = I). All names suffixed _t
-    are 'model'-sharded along n; the rest are replicated across 'model'
-    and sharded along 'data' on the batch."""
+
+def _tp_layer_step(A_t, b, x_t, z, lam, Ax, p: LayerParams, layout):
+    """One D-LADMM layer on local shards (B = I). Names suffixed _t are
+    'model'-sharded; the rest are replicated across 'model' and sharded
+    along 'data' on the batch."""
     beta = jnp.maximum(p.beta, 1e-6)
     base = z - b + lam / beta
     u = Ax + base
     x1_t = shrink(
-        x_t
-        - jax.lax.dot_general(u, p.W1, (((1,), (1,)), ((), ()))),
+        x_t - jax.lax.dot_general(u, p.W1, (((1,), (1,)), ((), ()))),
         p.theta1,
     )
     partial = jax.lax.dot_general(x1_t, A_t, (((1,), (1,)), ((), ())))
     Ax1 = jax.lax.psum(partial, MODEL_AXIS)
     v = Ax1 + base
-    z1 = shrink(
-        z - jax.lax.dot_general(v, p.W2, (((1,), (1,)), ((), ()))),
-        p.theta2,
-    )
+    if layout == "sharded_w2":
+        # psum output is model-invariant; restore the carry's vma type.
+        Ax1 = _vary(Ax1, (MODEL_AXIS,))
+        m_t = p.W2.shape[0]
+        idx = jax.lax.axis_index(MODEL_AXIS)
+        z_t = jax.lax.dynamic_slice_in_dim(z, idx * m_t, m_t, axis=1)
+        z1_t = shrink(
+            z_t - jax.lax.dot_general(v, p.W2, (((1,), (1,)), ((), ()))),
+            p.theta2,
+        )
+        z1 = jax.lax.all_gather(z1_t, MODEL_AXIS, axis=1, tiled=True)
+    else:
+        z1 = shrink(
+            z - jax.lax.dot_general(v, p.W2, (((1,), (1,)), ((), ()))),
+            p.theta2,
+        )
     lam1 = lam + beta * (Ax1 + z1 - b)
     return x1_t, z1, lam1, Ax1
 
 
-def _tp_forward_local(params, A_t, b):
-    """Local (inside-shard_map) scan over layers from zero state."""
+def _tp_forward_local(
+    params,
+    A_t,
+    b,
+    layout: str = "sharded_w2",
+    x_star_t=None,
+    e_star=None,
+    capture: bool = False,
+):
+    """Local (inside-shard_map) scan over layers from zero state.
+
+    Returns (x_t, z, lam, ys) where ys is None unless capture=True, in
+    which case ys = (num_x, num_z): per-layer per-sample LOCAL squared
+    errors, shapes (K, S). num_x sums over the local n-shard (psum over
+    'data' AND 'model' to globalize); num_z is over the full (replicated)
+    m (psum over 'data' only). This is the gather-free path to both the
+    deep-supervision loss and the per-layer NMSE curve for sharded runs
+    (VERDICT r1 #6) — nothing K x S x n ever materializes.
+    """
     S = b.shape[0]
     m = b.shape[1]
     n_t = A_t.shape[1]
     # Zero carries must carry the same varying-axes (vma) types as the
-    # step outputs: x varies over both mesh axes, the m-sized state over
-    # 'data' only (Ax is psum'd over 'model' each layer).
-    def vary(val, axes):
-        return jax.lax.pcast(val, axes, to="varying")
-
-    x = vary(jnp.zeros((S, n_t), b.dtype), (DATA_AXIS, MODEL_AXIS))
-    z = vary(jnp.zeros((S, m), b.dtype), (DATA_AXIS,))
-    lam = vary(jnp.zeros((S, m), b.dtype), (DATA_AXIS,))
-    Ax = vary(jnp.zeros((S, m), b.dtype), (DATA_AXIS,))
+    # step outputs: x varies over both mesh axes; the m-sized state
+    # varies over 'data' only in the replicated_w2 layout (psum output
+    # is model-invariant) but over both axes in sharded_w2 (z comes back
+    # through an all_gather).
+    both = (DATA_AXIS, MODEL_AXIS)
+    m_axes = both if layout == "sharded_w2" else (DATA_AXIS,)
+    x = _vary(jnp.zeros((S, n_t), b.dtype), both)
+    z = _vary(jnp.zeros((S, m), b.dtype), m_axes)
+    lam = _vary(jnp.zeros((S, m), b.dtype), m_axes)
+    Ax = _vary(jnp.zeros((S, m), b.dtype), m_axes)
 
     def body(carry, p):
         x, z, lam, Ax = carry
-        x, z, lam, Ax = _tp_layer_step(A_t, b, x, z, lam, Ax, p)
-        return (x, z, lam, Ax), None
+        x, z, lam, Ax = _tp_layer_step(A_t, b, x, z, lam, Ax, p, layout)
+        ys = None
+        if capture:
+            num_x = jnp.sum(
+                (x.astype(jnp.float32) - x_star_t) ** 2, axis=-1
+            )
+            num_z = jnp.sum(
+                (z.astype(jnp.float32) - e_star) ** 2, axis=-1
+            )
+            ys = (num_x, num_z)
+        return (x, z, lam, Ax), ys
 
-    (x, z, lam, _), _ = jax.lax.scan(
+    (x, z, lam, _), ys = jax.lax.scan(
         body, (x, z, lam, Ax), LayerParams(*params)
     )
-    return x, z, lam
+    return x, z, lam, ys
 
 
-def sharded_forward(mesh, params, A, b):
-    """Sharded inference: returns (x, z, lam) as global arrays
-    (x sharded over data x model, z/lam over data)."""
+def _model_slice(val, T):
+    """This chip's contiguous 'model'-axis slice of a (numerically)
+    model-replicated (S, m) value — used to emit gathered z/lam through a
+    P('data','model') out_spec (the vma type system correctly refuses to
+    call an all_gather output replicated)."""
+    m_t = val.shape[1] // T
+    idx = jax.lax.axis_index(MODEL_AXIS)
+    return jax.lax.dynamic_slice_in_dim(val, idx * m_t, m_t, axis=1)
+
+
+def sharded_forward(mesh, params, A, b, layout: str = "sharded_w2"):
+    """Sharded inference: returns (x, z, lam) as global arrays (x always
+    sharded over data x model; z/lam over data, and additionally over
+    model in the sharded_w2 layout). Global values are identical across
+    layouts (pinned by tests/test_distributed.py)."""
+    T = mesh.shape[MODEL_AXIS]
+
+    def fwd(params, A_t, b):
+        x, z, lam, _ = _tp_forward_local(params, A_t, b, layout)
+        if layout == "sharded_w2":
+            return x, _model_slice(z, T), _model_slice(lam, T)
+        return x, z, lam
+
+    zspec = X_SPEC if layout == "sharded_w2" else Z_SPEC
     fn = jax.shard_map(
-        _tp_forward_local,
+        fwd,
         mesh=mesh,
-        in_specs=(PARAM_SPECS, A_SPEC, B_SPEC),
-        out_specs=(X_SPEC, Z_SPEC, Z_SPEC),
+        in_specs=(param_specs(layout), A_SPEC, B_SPEC),
+        out_specs=(X_SPEC, zspec, zspec),
     )
     return jax.jit(fn)(params, A, b)
 
 
-def make_sharded_train_step(
-    optimizer: optax.GradientTransformation, mesh
+_EPS = 1e-12
+
+
+def make_sharded_eval(mesh, layout: str = "sharded_w2"):
+    """jitted (params, A, batch) -> metrics dict with the per-layer NMSE
+    curve, computed WITHOUT gathering any trajectory (psum of local sums
+    per layer — the TP-sharded K x S x n trajectory never exists).
+
+    Semantics match metrics.core exactly: NMSE(dB) is the batch-mean of
+    per-sample ratios with degenerate-support samples excluded, and the
+    residual is the batch-mean relative norm (pinned by
+    tests/test_distributed.py::test_sharded_eval_curve_matches_single).
+    """
+
+    T = mesh.shape[MODEL_AXIS]
+
+    def zsum(val):
+        """psum over 'data' of a z-side (numerically model-replicated)
+        value. In the sharded_w2 layout the gathered z is vma-VARYING
+        over 'model' (all_gather output), so an invariant result needs
+        the psum to cover 'model' too; dividing by T recovers the value
+        (exact when T is a power of two — the replicas are bit-identical)."""
+        if layout == "sharded_w2":
+            return jax.lax.psum(val, (DATA_AXIS, MODEL_AXIS)) / T
+        return jax.lax.psum(val, DATA_AXIS)
+
+    def local_eval(params, A_t, b, x_star_t, e_star):
+        x_t, z, lam, ys = _tp_forward_local(
+            params, A_t, b, layout, x_star_t, e_star, capture=True
+        )
+        num_x, num_z = ys  # (K, S) local sums
+        # Per-sample globals.
+        num_x = jax.lax.psum(num_x, MODEL_AXIS)  # (K, S)
+        den_x = jax.lax.psum(
+            jnp.sum(x_star_t.astype(jnp.float32) ** 2, axis=-1), MODEL_AXIS
+        )  # (S,)
+        valid = den_x > _EPS
+        ratio = jnp.where(valid, num_x / jnp.maximum(den_x, _EPS), 0.0)
+        sum_ratio = jax.lax.psum(jnp.sum(ratio, axis=-1), DATA_AXIS)  # (K,)
+        n_valid = jax.lax.psum(jnp.sum(valid), DATA_AXIS)
+        curve = jnp.where(
+            n_valid > 0,
+            10.0 * jnp.log10(sum_ratio / jnp.maximum(n_valid, 1) + _EPS),
+            jnp.nan,
+        )
+        # z-side final NMSE (den over full replicated m).
+        den_z = jnp.sum(e_star.astype(jnp.float32) ** 2, axis=-1)
+        valid_z = den_z > _EPS
+        ratio_z = jnp.where(
+            valid_z, num_z[-1] / jnp.maximum(den_z, _EPS), 0.0
+        )
+        sum_rz = zsum(jnp.sum(ratio_z))
+        n_valid_z = jax.lax.psum(jnp.sum(valid_z), DATA_AXIS)
+        nmse_z = jnp.where(
+            n_valid_z > 0,
+            10.0 * jnp.log10(sum_rz / jnp.maximum(n_valid_z, 1) + _EPS),
+            jnp.nan,
+        )
+        # Relative constraint residual at the final layer: r = Ax+z-b.
+        Ax = jax.lax.psum(
+            jax.lax.dot_general(
+                x_t, A_t, (((1,), (1,)), ((), ()))
+            ).astype(jnp.float32),
+            MODEL_AXIS,
+        )
+        r = jnp.linalg.norm(Ax + z.astype(jnp.float32) - b, axis=-1)
+        rel = r / jnp.maximum(jnp.linalg.norm(b, axis=-1), _EPS)
+        S_total = jax.lax.psum(jnp.asarray(b.shape[0], jnp.float32), DATA_AXIS)
+        residual = zsum(jnp.sum(rel)) / S_total
+        return {
+            "nmse_db": curve[-1],
+            "nmse_db_z": nmse_z,
+            "residual": residual,
+            "nmse_curve_db": curve,
+        }
+
+    fn = jax.shard_map(
+        local_eval,
+        mesh=mesh,
+        in_specs=(param_specs(layout), A_SPEC, B_SPEC, X_SPEC, Z_SPEC),
+        out_specs={
+            "nmse_db": P(),
+            "nmse_db_z": P(),
+            "residual": P(),
+            "nmse_curve_db": P(),
+        },
+    )
+
+    @jax.jit
+    def evaluate(params, A, batch):
+        return fn(params, A, batch.b, batch.x_star, batch.e_star)
+
+    return evaluate
+
+
+def make_dp_train_step(
+    optimizer: optax.GradientTransformation,
+    mesh,
+    compute_dtype=None,
+    freeze: tuple = (),
+    layer_weights=None,
+    step_fn=None,
+    forward_fn=None,
+    vjp: str = "auto",
+    donate: bool = True,
 ):
-    """jitted (state, batch) -> (state, loss) over the DP x TP mesh.
+    """Data-parallel-only train step (model_axis == 1) that composes the
+    ENTIRE single-chip perf stack inside shard_map (VERDICT r1 #2): the
+    local forward/backward on each chip's batch shard is literally
+    train.loop.loss_fn — manual reverse-scan VJP, Pallas megakernel /
+    fused-layer forwards, persistent-bf16-copy mixed precision, deep
+    supervision — and the only collective is the loss psum over 'data'
+    (whose transpose is the gradient allreduce, inserted by shard_map's
+    replication tracking for the replicated params).
+
+    Parity with the single-device global-batch step is pinned by
+    tests/test_distributed.py::test_dp_fast_path_matches_single_device.
+    """
+    from dladmm_tpu.train.loop import loss_fn
+
+    D = mesh.shape[DATA_AXIS]
+    rep = jax.tree.map(lambda _: P(), param_specs("replicated_w2"))
+
+    def local_loss_and_grad(params, A, b, x_star, e_star):
+        def local_loss(params):
+            return loss_fn(
+                params,
+                A,
+                b,
+                x_star,
+                e_star,
+                None,
+                layer_weights,
+                step_fn,
+                forward_fn,
+                None,  # params/A/b arrive pre-cast for mixed precision
+                vjp,
+            )
+
+        # Grad/loss of the LOCAL batch mean, then one explicit allreduce:
+        # global loss = (1/D) sum_i local_mean_i, so global grads =
+        # psum(local grads)/D. (With check_vma=False there is no vma
+        # machinery to insert the transposition psum for us — the
+        # collective must be explicit, pinned by the parity tests.)
+        l, g = jax.value_and_grad(local_loss)(params)
+        l = jax.lax.psum(l, DATA_AXIS) / D
+        g = jax.tree.map(lambda v: jax.lax.psum(v, DATA_AXIS) / D, g)
+        return l, g
+
+    # check_vma=False (classic replication inference): the local body is
+    # the user-selected single-chip path — Pallas megakernel/fused-step
+    # pallas_calls and the manual VJP's scans cannot declare varying-axis
+    # types generically (pallas_call requires an explicit `vma` on every
+    # out_shape when the checker is on). The explicit-collective TP step
+    # keeps the checker; this path's collectives are all inserted by the
+    # autodiff transpose machinery, pinned by the parity tests.
+    grad_fn = jax.shard_map(
+        local_loss_and_grad,
+        mesh=mesh,
+        in_specs=(rep, P(), B_SPEC, X_SPEC, Z_SPEC),
+        out_specs=(P(), rep),
+        check_vma=False,
+    )
+
+    def step(state, A, batch):
+        if compute_dtype is not None:
+            loss_params = state.compute_params
+            b = batch.b.astype(compute_dtype)
+        else:
+            loss_params = state.params
+            b = batch.b
+        loss, grads = grad_fn(
+            loss_params, A, b, batch.x_star, batch.e_star
+        )
+        grads = jax.tree.map(
+            lambda g, p: g.astype(p.dtype), grads, state.params
+        )
+        if freeze:
+            grads = type(grads)(
+                *(
+                    jnp.zeros_like(g) if name in freeze else g
+                    for name, g in zip(grads._fields, grads)
+                )
+            )
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        params = optax.apply_updates(state.params, updates)
+        new = state._replace(
+            params=params, opt_state=opt_state, step=state.step + 1
+        )
+        if compute_dtype is not None:
+            new = new._replace(
+                compute_params=jax.tree.map(
+                    lambda v: v.astype(compute_dtype), params
+                )
+            )
+        return new, loss
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_sharded_train_step(
+    optimizer: optax.GradientTransformation,
+    mesh,
+    layout: str = "sharded_w2",
+    compute_dtype=None,
+    freeze: tuple = (),
+    layer_weights=None,
+    donate: bool = True,
+):
+    """jitted (state, A, batch) -> (state, loss) over the DP x TP mesh.
 
     Loss/grad runs inside shard_map with explicit psums; the optax update
     runs outside under GSPMD (elementwise, partitions trivially along the
-    existing param shardings). Final-layer MSE loss (SURVEY.md §2 pt 6).
+    existing param shardings — Adam moments inherit the W1/W2 shards).
+
+    The single-chip perf/feature stack composes here (VERDICT r1 #2):
+      * compute_dtype=bf16 — forward/backward on state.compute_params
+        (persistent sharded bf16 copy, refreshed in the same fused pass;
+        fp32 masters in the optimizer; loss accumulated fp32).
+      * layer_weights — deep supervision via the capture path's per-layer
+        psum-of-local-sums (no trajectory gather).
+      * freeze — zero the named fields' grads before the update.
     """
+    specs = param_specs(layout)
+    lw = None if layer_weights is None else jnp.asarray(layer_weights)
+
+    T = mesh.shape[MODEL_AXIS]
+
+    def zsum(val):
+        # See make_sharded_eval.zsum: z-side values are vma-varying over
+        # 'model' in the sharded_w2 layout (bit-identical replicas).
+        if layout == "sharded_w2":
+            return jax.lax.psum(val, (DATA_AXIS, MODEL_AXIS)) / T
+        return jax.lax.psum(val, DATA_AXIS)
 
     def local_loss_and_grad(params, A_t, b, x_star_t, e_star):
-        S_local = b.shape[0]
-        S = S_local * mesh.shape[DATA_AXIS]
+        S = b.shape[0] * mesh.shape[DATA_AXIS]
         n = A_t.shape[1] * mesh.shape[MODEL_AXIS]
         m = b.shape[1]
 
         def local_loss(params):
-            x_t, z, _ = _tp_forward_local(params, A_t, b)
-            sse_x = jnp.sum((x_t - x_star_t) ** 2)
-            sse_z = jnp.sum((z - e_star) ** 2)
-            lx = jax.lax.psum(sse_x, (DATA_AXIS, MODEL_AXIS)) / (S * n)
-            lz = jax.lax.psum(sse_z, DATA_AXIS) / (S * m)
-            return lx + lz
+            if lw is None:
+                x_t, z, _, _ = _tp_forward_local(params, A_t, b, layout)
+                sse_x = jnp.sum((x_t.astype(jnp.float32) - x_star_t) ** 2)
+                sse_z = jnp.sum((z.astype(jnp.float32) - e_star) ** 2)
+                lx = jax.lax.psum(sse_x, (DATA_AXIS, MODEL_AXIS)) / (S * n)
+                lz = zsum(sse_z) / (S * m)
+                return lx + lz
+            _, _, _, ys = _tp_forward_local(
+                params, A_t, b, layout, x_star_t, e_star, capture=True
+            )
+            num_x, num_z = ys  # (K, S) local sums
+            lx = jax.lax.psum(
+                jnp.sum(num_x, axis=-1), (DATA_AXIS, MODEL_AXIS)
+            ) / (S * n)
+            lz = zsum(jnp.sum(num_z, axis=-1)) / (S * m)
+            return jnp.sum(lw * (lx + lz))
 
         return jax.value_and_grad(local_loss)(params)
 
     grad_fn = jax.shard_map(
         local_loss_and_grad,
         mesh=mesh,
-        in_specs=(PARAM_SPECS, A_SPEC, B_SPEC, X_SPEC, Z_SPEC),
-        out_specs=(P(), PARAM_SPECS),
+        in_specs=(specs, A_SPEC, B_SPEC, X_SPEC, Z_SPEC),
+        out_specs=(P(), specs),
     )
 
-    @jax.jit
     def step(state, A, batch):
+        if compute_dtype is not None:
+            loss_params = state.compute_params
+            b = batch.b.astype(compute_dtype)
+        else:
+            loss_params = state.params
+            b = batch.b
         loss, grads = grad_fn(
-            state.params, A, batch.b, batch.x_star, batch.e_star
+            loss_params, A, b, batch.x_star, batch.e_star
         )
+        # bf16 grads feed the fp32 masters through an explicit cast.
+        grads = jax.tree.map(
+            lambda g, p: g.astype(p.dtype), grads, state.params
+        )
+        if freeze:
+            grads = type(grads)(
+                *(
+                    jnp.zeros_like(g) if name in freeze else g
+                    for name, g in zip(grads._fields, grads)
+                )
+            )
         updates, opt_state = optimizer.update(
             grads, state.opt_state, state.params
         )
         params = optax.apply_updates(state.params, updates)
-        return type(state)(params, opt_state, state.step + 1), loss
+        new = state._replace(
+            params=params, opt_state=opt_state, step=state.step + 1
+        )
+        if compute_dtype is not None:
+            new = new._replace(
+                compute_params=jax.tree.map(
+                    lambda v: v.astype(compute_dtype), params
+                )
+            )
+        return new, loss
 
-    return step
+    return jax.jit(step, donate_argnums=(0,) if donate else ())

@@ -58,28 +58,32 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
-def param_shardings_tp(mesh: Mesh):
-    """TP layout for DLADMMParams (SURVEY.md §9.3 sharding algebra):
+def param_shardings_tp(mesh: Mesh, layout: str = "sharded_w2"):
+    """TP layout for DLADMMParams (SURVEY.md §9.3 sharding algebra;
+    docs/DESIGN.md §4):
 
-    x and everything n-indexed is sharded along ``model``; z/lam/b and
-    everything m-indexed stays replicated (m << n in the TP config's
-    regime, and u/v must be fully materialized on every chip anyway for
-    the W1 contraction over m).
+    layout="sharded_w2" (default): every weight shards along ``model``
+    — W1/theta1 over the code dimension n, W2/theta2 over the z
+    dimension d — so Adam moments shard too and the tp_large acceptance
+    shape fits per-chip HBM (parallel/memory.py audits this). Only the
+    m-sized ACTIVATIONS (z, lam, b) are replicated across 'model'.
 
-      W1 (K, n, m): shard n   | theta1 (K, n): shard n
-      W2 (K, d, m): replicate | theta2, beta: replicate
-      A  (m, n):    shard n-columns
+    layout="replicated_w2": round-1 layout (W2/theta2/moments
+    replicated) — one collective per layer, but ~16 GB/chip of
+    replicated state at tp_large; kept for the measured trade and for
+    small-m configs.
+
+      W1 (K, n, m): shard n          | theta1 (K, n): shard n
+      W2 (K, d, m): shard d / repl.  | theta2 (K, d): shard d / repl.
+      A  (m, n):    shard n-columns  | beta: replicate
     """
     from dladmm_tpu.models.unroll import DLADMMParams
+    from dladmm_tpu.parallel.collectives import param_specs
 
-    ns = lambda *spec: NamedSharding(mesh, P(*spec))
+    specs = param_specs(layout)
     return {
-        "params": DLADMMParams(
-            W1=ns(None, MODEL_AXIS, None),
-            W2=ns(),
-            theta1=ns(None, MODEL_AXIS),
-            theta2=ns(),
-            beta=ns(),
+        "params": type(specs)(
+            *(NamedSharding(mesh, s) for s in specs)
         ),
-        "A": ns(None, MODEL_AXIS),
+        "A": NamedSharding(mesh, P(None, MODEL_AXIS)),
     }

@@ -66,39 +66,50 @@ def main(argv=None) -> int:
     p = cfg.problem
     s = cfg.sharding
     if s.data_axis * s.model_axis > 1:
-        # Sharded presets (tp_large, multihost): DP x TP mesh training
-        # with explicit collectives; final metrics only (no per-layer
-        # curve — see fit_sharded docstring).
-        # Explicitly passing the no-op defaults (--vjp auto, --kernel
-        # auto) is accepted — only non-default values are rejected.
-        unsupported = {
-            "--ckpt-dir": args.ckpt_dir,
-            "--resume": args.resume or None,
-            "--plot": args.plot,
-            "--layer-loss": args.layer_loss,
-            "--kernel": args.kernel if args.kernel != "auto" else None,
-            "--vjp": args.vjp if args.vjp != "auto" else None,
-        }
-        bad = [k for k, v in unsupported.items() if v]
-        if bad:
-            ap.error(
-                f"{', '.join(bad)} not supported with sharded configs "
-                f"(config {cfg.name!r} has a "
-                f"{s.data_axis}x{s.model_axis} mesh)"
-            )
+        # Sharded presets (tp_small, tp_large, multihost): DP x TP mesh
+        # training with explicit collectives. The full flag surface
+        # applies — fit_sharded composes bf16/layer-loss/freeze/ckpt
+        # with sharding, and kernel/vjp select the per-shard path on
+        # DP-only meshes (fit_sharded rejects non-auto values when
+        # model_axis > 1, where the TP scan is the only forward).
         from dladmm_tpu.train.loop import fit_sharded
 
-        _, history = fit_sharded(cfg, log_fn=logger)
+        _, history = fit_sharded(
+            cfg,
+            log_fn=logger,
+            ckpt_dir=args.ckpt_dir,
+            resume=args.resume,
+        )
         last = history[-1]
+        curves = last["curves"]
+        if args.plot:
+            from dladmm_tpu.utils.plots import save_nmse_curve_plot
+
+            save_nmse_curve_plot(
+                args.plot,
+                curves["nmse_curve_db"],
+                curves["ladmm_curve_db"],
+                title=f"{cfg.name}: NMSE vs layer (K={cfg.problem.K}, "
+                f"mesh {last['mesh']})",
+            )
+            print(f"plot saved: {args.plot}")
         print(
             f"\nconfig={cfg.name}  steps={cfg.train.steps}  "
             f"mesh={last['mesh']}"
         )
+        print(f"{'layer':>5} {'D-LADMM NMSE(dB)':>18} {'LADMM NMSE(dB)':>16}")
+        for k, (a, b) in enumerate(
+            zip(curves["nmse_curve_db"], curves["ladmm_curve_db"]), 1
+        ):
+            print(f"{k:>5} {float(a):>18.2f} {float(b):>16.2f}")
         print(
             json.dumps(
                 {
                     "final_nmse_db": last["nmse_db"],
                     "final_residual": last["residual"],
+                    "ladmm_nmse_db_at_K": float(
+                        curves["ladmm_curve_db"][-1]
+                    ),
                     "mesh": last["mesh"],
                 }
             )

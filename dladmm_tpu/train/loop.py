@@ -491,31 +491,56 @@ def fit(
     return state.params, history
 
 
-def fit_sharded(config, A: Optional[Array] = None, log_fn=None):
-    """Sharded training per config.sharding: DP x TP ('data','model')
-    mesh with the explicit-collective step (parallel/collectives.py —
-    one psum of partial A-matvecs per layer for TP, gradient psum for
-    DP). Multi-host when config.sharding.multihost (SURVEY.md §5.5).
+def fit_sharded(
+    config,
+    A: Optional[Array] = None,
+    log_fn=None,
+    ckpt_dir: Optional[str] = None,
+    resume: bool = False,
+    hbm_bytes: Optional[float] = None,
+):
+    """Sharded training per config.sharding on a DP x TP ('data','model')
+    mesh. Multi-host when config.sharding.multihost (SURVEY.md §5.5).
 
-    Unlike fit(), batches are built host-locally and device_put with
-    'data'-axis sharding, and evaluation reports final NMSE/residual
-    only (no per-layer curve: the TP-sharded trajectory would have to be
-    gathered — W1 alone is ~10 GB at the tp_large shape).
+    Two step implementations (parallel/collectives.py):
+      * model_axis == 1 — DP fast path: the full single-chip perf stack
+        (manual VJP, Pallas kernels, persistent-bf16 mixed precision)
+        runs per-shard inside shard_map; only collective is the
+        loss/grad psum over 'data'.
+      * model_axis > 1 — explicit-collective TP step; the weight layout
+        is config.sharding.layout ("sharded_w2" default — fits the
+        tp_large acceptance shape; see parallel/memory.py, which audits
+        the per-chip footprint BEFORE anything is allocated).
+
+    Composes the TrainConfig feature set (VERDICT r1 #2): bf16 compute
+    with fp32 masters + persistent sharded copy, deep supervision
+    (layer_loss), freeze, lr schedule + clipping; kernel/vjp selection
+    applies on the DP fast path (TP forwards are the explicit-collective
+    scan — kernel/vjp must stay "auto" there).
+
+    Evaluation emits the full per-layer NMSE curve (gather-free
+    psum-of-local-sums — VERDICT r1 #6) plus the classical-LADMM curve
+    (= the untrained LADMM-init net, tests/test_ladmm_equivalence.py).
+
+    With ckpt_dir, checkpoints sharded params+opt_state+step at every
+    eval via orbax (single writer per shard); resume=True continues from
+    the latest step_N, restoring directly into the sharded layout.
 
     Returns (params, history) with params left sharded on the mesh.
     """
     from jax.sharding import NamedSharding
 
-    from dladmm_tpu.metrics.core import constraint_residual, nmse_db
     from dladmm_tpu.models.unroll import init_dladmm_params
     from dladmm_tpu.parallel import mesh as pmesh
     from dladmm_tpu.parallel.collectives import (
         B_SPEC,
         X_SPEC,
         Z_SPEC,
+        make_dp_train_step,
+        make_sharded_eval,
         make_sharded_train_step,
-        sharded_forward,
     )
+    from dladmm_tpu.parallel.memory import DEFAULT_HBM_BYTES, audit_or_raise
     from dladmm_tpu.parallel.multihost import (
         host_local_batch,
         initialize_distributed,
@@ -523,20 +548,23 @@ def fit_sharded(config, A: Optional[Array] = None, log_fn=None):
     )
 
     p, t, s = config.problem, config.train, config.sharding
-    unsupported = {
-        "compute_dtype": t.compute_dtype != "float32",
-        "layer_loss": t.layer_loss is not None,
-        "freeze": bool(t.freeze),
-        "kernel": t.kernel != "auto",
-        "vjp": getattr(t, "vjp", "auto") != "auto",
-    }
-    bad = [k for k, v in unsupported.items() if v]
-    if bad:
-        raise ValueError(
-            f"fit_sharded does not support TrainConfig fields {bad} yet "
-            "(the sharded step uses XLA autodiff through the explicit-"
-            "collective forward); unset them for sharded configs"
-        )
+    layout = getattr(s, "layout", "sharded_w2")
+    vjp = getattr(t, "vjp", "auto")
+    compute_dtype = jnp.bfloat16 if t.compute_dtype == "bfloat16" else None
+    if s.model_axis > 1:
+        bad = {
+            k: v
+            for k, v in {"kernel": t.kernel, "vjp": vjp}.items()
+            if v != "auto"
+        }
+        if bad:
+            raise ValueError(
+                f"TrainConfig fields {sorted(bad)} have no effect with "
+                f"model_axis={s.model_axis}: the TP forward is the "
+                "explicit-collective scan (parallel/collectives.py), not "
+                "a kernel/vjp-selectable single-chip path. Leave them "
+                '"auto" (they apply on DP-only meshes).'
+            )
     if s.multihost:
         initialize_distributed()
     n_needed = s.data_axis * s.model_axis
@@ -548,6 +576,20 @@ def fit_sharded(config, A: Optional[Array] = None, log_fn=None):
             "XLA_FLAGS=--xla_force_host_platform_device_count="
             f"{n_needed} JAX_PLATFORMS=cpu (tests/conftest.py does this)."
         )
+    is_primary = jax.process_index() == 0
+    audit_or_raise(
+        p.m,
+        p.n,
+        p.K,
+        t.batch,
+        s.data_axis,
+        s.model_axis,
+        layout,
+        dtype_bytes=jnp.dtype(t.dtype).itemsize,
+        compute_dtype_bytes=2 if compute_dtype is not None else None,
+        hbm_bytes=hbm_bytes or DEFAULT_HBM_BYTES,
+        print_fn=print if is_primary else None,
+    )
     if s.multihost and jax.process_count() > 1:
         mesh = make_multihost_mesh(model=s.model_axis)
     else:
@@ -561,17 +603,52 @@ def fit_sharded(config, A: Optional[Array] = None, log_fn=None):
 
         A = make_dictionary(k_dict, p.m, p.n, dtype)
 
-    sh = pmesh.param_shardings_tp(mesh)
+    sh = pmesh.param_shardings_tp(mesh, layout)
     A = jax.device_put(A, sh["A"])
     params = jax.device_put(
         init_dladmm_params(A, K=p.K, beta=p.beta, dtype=dtype),
         sh["params"],
     )
     optimizer = _build_optimizer(t)  # honors lr_schedule + clip_norm
-    state = TrainState(
-        params, optimizer.init(params), jnp.zeros((), jnp.int32)
-    )
-    step = make_sharded_train_step(optimizer, mesh)
+    layer_weights = None
+    if t.layer_loss == "uniform":
+        layer_weights = jnp.full((p.K,), 1.0 / p.K, jnp.float32)
+    state = make_train_state(params, optimizer, compute_dtype)
+    A_c = A if compute_dtype is None else A.astype(compute_dtype)
+
+    n_data_chips = mesh.shape[pmesh.DATA_AXIS]
+    if s.model_axis == 1:
+        forward_fn = step_fn = None
+        if vjp == "auto" or (vjp not in ("manual", "xla")):
+            from dladmm_tpu.models.api import select_forward
+
+            forward_fn, step_fn, _ = select_forward(
+                p.m,
+                p.n,
+                p.m,
+                max(1, t.batch // n_data_chips),  # per-chip batch shard
+                kernel=t.kernel,
+                need_trajectory=t.layer_loss is not None,
+            )
+        train_step = make_dp_train_step(
+            optimizer,
+            mesh,
+            compute_dtype,
+            tuple(t.freeze),
+            layer_weights,
+            step_fn,
+            forward_fn,
+            vjp,
+        )
+    else:
+        train_step = make_sharded_train_step(
+            optimizer,
+            mesh,
+            layout,
+            compute_dtype,
+            tuple(t.freeze),
+            layer_weights,
+        )
 
     def put_batch(key, batch_size):
         if jax.process_count() > 1:
@@ -587,30 +664,79 @@ def fit_sharded(config, A: Optional[Array] = None, log_fn=None):
         )
 
     eval_data = put_batch(k_eval, t.eval_batch)
+    eval_fn = make_sharded_eval(mesh, layout)
+    # Classical-LADMM comparison curve = the untrained LADMM-init net
+    # (exact equivalence pinned by tests/test_ladmm_equivalence.py);
+    # computed before any restore so resumed runs keep the baseline.
+    ladmm_curve = [
+        float(v)
+        for v in jax.device_get(
+            eval_fn(params, A, eval_data)["nmse_curve_db"]
+        )
+    ]
 
-    @jax.jit
-    def eval_metrics(params, A, data):
-        x, z, _ = sharded_forward(mesh, params, A, data.b)
-        return (
-            nmse_db(x, data.x_star),
-            constraint_residual(A, data.b, x, z, None),
+    start = 0
+    if ckpt_dir:
+        from dladmm_tpu.utils.checkpoint import (
+            latest_step_dir,
+            restore_checkpoint,
+            save_checkpoint,
         )
 
+        if resume:
+            latest = latest_step_dir(ckpt_dir)
+            if latest is not None:
+                restored = restore_checkpoint(
+                    latest, state._replace(compute_params=None)
+                )
+                cp = (
+                    None
+                    if compute_dtype is None
+                    else jax.tree.map(
+                        lambda v: v.astype(compute_dtype), restored.params
+                    )
+                )
+                state = restored._replace(compute_params=cp)
+                start = int(state.step)
+
+    mesh_desc = (
+        f"{mesh.shape[pmesh.DATA_AXIS]}x{mesh.shape[pmesh.MODEL_AXIS]}"
+    )
+
+    def eval_record(i, loss):
+        ev = jax.device_get(eval_fn(state.params, A, eval_data))
+        return {
+            "step": i,
+            "loss": float(loss),
+            "nmse_db": float(ev["nmse_db"]),
+            "residual": float(ev["residual"]),
+            "mesh": mesh_desc,
+            "curves": {
+                "nmse_curve_db": [float(v) for v in ev["nmse_curve_db"]],
+                "ladmm_curve_db": ladmm_curve,
+            },
+        }
+
     history = []
-    for i in range(t.steps):
+    for i in range(start, t.steps):
+        # Deterministic per-step key: resume reproduces the cold run.
         sub = jax.random.fold_in(k_train, i)
-        state, loss = step(state, A, put_batch(sub, t.batch))
+        state, loss = train_step(state, A_c, put_batch(sub, t.batch))
         if (i + 1) % t.eval_every == 0 or i + 1 == t.steps:
-            nm, res = eval_metrics(state.params, A, eval_data)
-            rec = {
-                "step": i + 1,
-                "loss": float(loss),
-                "nmse_db": float(nm),
-                "residual": float(res),
-                "mesh": f"{mesh.shape[pmesh.DATA_AXIS]}x"
-                f"{mesh.shape[pmesh.MODEL_AXIS]}",
-            }
+            rec = eval_record(i + 1, loss)
             history.append(rec)
-            if log_fn and jax.process_index() == 0:
-                log_fn(rec)
+            if log_fn and is_primary:
+                log_fn({k: v for k, v in rec.items() if k != "curves"})
+            if ckpt_dir:
+                save_checkpoint(
+                    ckpt_dir,
+                    state._replace(compute_params=None),
+                    step=i + 1,
+                )
+    if not history:
+        # Resumed at (or past) the final step.
+        rec = eval_record(int(state.step), float("nan"))
+        history.append(rec)
+        if log_fn and is_primary:
+            log_fn({k: v for k, v in rec.items() if k != "curves"})
     return state.params, history

@@ -41,13 +41,24 @@ def save_checkpoint(path: str, state: Any, step: Optional[int] = None) -> str:
     return target
 
 
+def _abstract_leaf(x):
+    """ShapeDtypeStruct carrying the template leaf's NamedSharding (if
+    any) so sharded training states restore DIRECTLY into their mesh
+    layout — no host round-trip, single reader per shard (SURVEY.md §7
+    checkpoint row; exercised by tests/test_resume.py sharded cases)."""
+    from jax.sharding import NamedSharding
+
+    sharding = getattr(x, "sharding", None)
+    if isinstance(sharding, NamedSharding):
+        return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sharding)
+    return jax.ShapeDtypeStruct(x.shape, x.dtype)
+
+
 def restore_checkpoint(path: str, template: Any) -> Any:
-    """Restore into the structure/shapes/dtypes of ``template``."""
+    """Restore into the structure/shapes/dtypes/shardings of ``template``."""
     if _HAS_ORBAX and os.path.isdir(path):
         ckpt = ocp.StandardCheckpointer()
-        abstract = jax.tree.map(
-            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), template
-        )
+        abstract = jax.tree.map(_abstract_leaf, template)
         return ckpt.restore(path, abstract)
     data = np.load(path)
     leaves, treedef = jax.tree.flatten(template)

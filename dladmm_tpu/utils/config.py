@@ -61,6 +61,11 @@ class ShardingConfig:
     data_axis: int = 1  # DP degree (1 = off)
     model_axis: int = 1  # TP degree (1 = off)
     multihost: bool = False
+    # TP weight layout (parallel/collectives.py): "sharded_w2" shards
+    # every weight + Adam moment over 'model' (fits tp_large per-chip
+    # HBM); "replicated_w2" is the round-1 one-collective-per-layer
+    # layout (W2/moments replicated — only viable at small m).
+    layout: str = "sharded_w2"
 
 
 @dataclasses.dataclass(frozen=True)

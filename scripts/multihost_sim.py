@@ -28,6 +28,10 @@ def main(argv=None) -> int:
     ap.add_argument("--num-processes", type=int, default=2)
     ap.add_argument("--coordinator", default="127.0.0.1:9891")
     ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--ckpt-dir", default=None)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--compute-dtype", default="float32")
+    ap.add_argument("--layout", default="sharded_w2")
     args = ap.parse_args(argv)
 
     # Set (or raise) the virtual-device-count flag without duplicating
@@ -70,14 +74,28 @@ def main(argv=None) -> int:
             lr=1e-3,
             eval_every=max(1, args.steps // 3),
             eval_batch=16 * args.num_processes,
+            compute_dtype=args.compute_dtype,
         ),
         sharding=ShardingConfig(
             data_axis=(n_local * args.num_processes) // 2,
             model_axis=2,
             multihost=True,
+            layout=args.layout,
         ),
     )
-    params, history = fit_sharded(cfg)
+    params, history = fit_sharded(
+        cfg, ckpt_dir=args.ckpt_dir, resume=args.resume
+    )
+    # Bit-sensitive digest of the final (sharded) params, computed SPMD:
+    # identical across a cold run and a checkpoint-resumed run iff the
+    # restore reproduced every shard exactly.
+    import jax.numpy as jnp
+
+    checksum = float(
+        jax.jit(
+            lambda ps: sum(jnp.sum(jnp.abs(p.astype(jnp.float64))) for p in ps)
+        )(params)
+    )
     if jax.process_index() == 0:
         first, last = history[0], history[-1]
         print(
@@ -89,6 +107,7 @@ def main(argv=None) -> int:
                     "nmse_db_first": first["nmse_db"],
                     "nmse_db_last": last["nmse_db"],
                     "improved": last["nmse_db"] < first["nmse_db"],
+                    "param_checksum": checksum,
                 }
             )
         )

@@ -104,6 +104,40 @@ def main() -> int:
         for name, r, p_ in zip(params._fields, g_ref, g_pl):
             ok &= check(f"pallas-bwd grad {name}", p_, r, tol_g)
 
+        # Batch-chunked backward megakernel at the batch-1024 shape the
+        # whole-batch kernel cannot fit (grid (K, S/bs), k outer).
+        from dladmm_tpu.ops.pallas_bwd import (
+            bwd_chunk_batch,
+            unroll_bwd_pallas_chunked,
+        )
+        from dladmm_tpu.ops.unroll_vjp import _fwd_scan, bwd_from_carries
+
+        S_big = 1024
+        bs = bwd_chunk_batch(m, n, m, S_big, jnp.dtype(dt).itemsize)
+        if bs is not None:
+            b_big = cast(make_batch(kb, A0, S_big).b)
+            (xf, zf, lamf, Axf), traj6 = _fwd_scan(params, A, b_big)
+            lam_in, Ax_in, z_in, x1, z1, Ax1 = traj6
+            cts = (
+                jnp.ones_like(xf),
+                0.5 * jnp.ones_like(zf),
+                0.1 * jnp.ones_like(lamf),
+            )
+            gp_ref, _, _ = bwd_from_carries(params, A, b_big, traj6, cts)
+            gp_ck, _, _ = unroll_bwd_pallas_chunked(
+                params,
+                A,
+                b_big,
+                (x1, z1, jnp.concatenate([lam_in[1:], lamf[None]]), Ax1),
+                cts,
+                bs,
+                interpret=False,
+            )
+            for name, r, p_ in zip(params._fields, gp_ref, gp_ck):
+                ok &= check(
+                    f"chunked-bwd (bs={bs}) grad {name}", p_, r, tol_g
+                )
+
     print("PASS" if ok else "FAIL")
     return 0 if ok else 1
 

@@ -1,6 +1,6 @@
 """Distributed tests without a cluster (SURVEY.md §6.2-5): 8 virtual CPU
-devices; run the full DP-psum and TP-partial-matvec paths on meshes and
-assert tolerance equality with the single-device run."""
+devices; run the full DP-psum and TP paths (both weight layouts) on
+meshes and assert tolerance equality with the single-device run."""
 
 import jax
 import jax.numpy as jnp
@@ -16,10 +16,14 @@ from dladmm_tpu.parallel.collectives import (
     B_SPEC,
     X_SPEC,
     Z_SPEC,
+    make_dp_train_step,
+    make_sharded_eval,
     make_sharded_train_step,
     sharded_forward,
 )
-from dladmm_tpu.train.loop import TrainState, loss_fn
+from dladmm_tpu.train.loop import TrainState, evaluate, loss_fn
+
+LAYOUTS = ("sharded_w2", "replicated_w2")
 
 
 def _setup(m=16, n=64, K=6, S=16, seed=0):
@@ -37,20 +41,46 @@ def _setup(m=16, n=64, K=6, S=16, seed=0):
     return A, data, params
 
 
+def _put_batch(mesh, data):
+    from jax.sharding import NamedSharding
+
+    put = lambda v, spec: jax.device_put(v, NamedSharding(mesh, spec))
+    return type(data)(
+        b=put(data.b, B_SPEC),
+        x_star=put(data.x_star, X_SPEC),
+        e_star=put(data.e_star, Z_SPEC),
+    )
+
+
+def _put(mesh, data, params, A, layout):
+    # NOTE: device_put may ALIAS buffers whose layout already matches
+    # (e.g. replicated beta on 1 device); donated steps then delete the
+    # caller's original. Tests that keep using the originals must not
+    # pass the aliased results into a donating step twice.
+    sh = pmesh.param_shardings_tp(mesh, layout)
+    return (
+        jax.device_put(params, sh["params"]),
+        jax.device_put(A, sh["A"]),
+        _put_batch(mesh, data),
+    )
+
+
+@pytest.mark.parametrize("layout", LAYOUTS)
 @pytest.mark.parametrize("shape", [(1, 4), (4, 1), (2, 4), (4, 2)])
-def test_sharded_forward_matches_single_device(shape):
+def test_sharded_forward_matches_single_device(shape, layout):
     data_ax, model_ax = shape
     mesh = pmesh.make_mesh(data=data_ax, model=model_ax)
     A, data, params = _setup()
     x_ref, z_ref, lam_ref = dladmm_forward(params, A, data.b)
-    x, z, lam = sharded_forward(mesh, params, A, data.b)
+    x, z, lam = sharded_forward(mesh, params, A, data.b, layout)
     np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref), rtol=2e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(z), np.asarray(z_ref), rtol=2e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(lam), np.asarray(lam_ref), rtol=2e-5, atol=1e-6)
 
 
+@pytest.mark.parametrize("layout", LAYOUTS)
 @pytest.mark.parametrize("shape", [(2, 2), (8, 1), (2, 4)])
-def test_sharded_train_step_matches_single_device(shape):
+def test_sharded_train_step_matches_single_device(shape, layout):
     data_ax, model_ax = shape
     mesh = pmesh.make_mesh(data=data_ax, model=model_ax)
     A, data, params = _setup()
@@ -63,23 +93,142 @@ def test_sharded_train_step_matches_single_device(shape):
     upd_ref, _ = optimizer.update(grads_ref, optimizer.init(params), params)
     params_ref = optax.apply_updates(params, upd_ref)
 
-    # Sharded step on device_put inputs.
-    from jax.sharding import NamedSharding
-
-    put = lambda v, spec: jax.device_put(v, NamedSharding(mesh, spec))
-    sh = pmesh.param_shardings_tp(mesh)
-    params_s = jax.device_put(params, sh["params"])
-    A_s = jax.device_put(A, sh["A"])
-    batch_s = type(data)(
-        b=put(data.b, B_SPEC),
-        x_star=put(data.x_star, X_SPEC),
-        e_star=put(data.e_star, Z_SPEC),
-    )
+    params_s, A_s, batch_s = _put(mesh, data, params, A, layout)
     state = TrainState(params_s, optimizer.init(params_s), jnp.zeros((), jnp.int32))
-    step = make_sharded_train_step(optimizer, mesh)
+    step = make_sharded_train_step(optimizer, mesh, layout, donate=False)
     state2, loss = step(state, A_s, batch_s)
 
     np.testing.assert_allclose(float(loss), float(loss_ref), rtol=1e-5)
+    for got, want in zip(state2.params, params_ref):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=5e-5, atol=1e-6
+        )
+
+
+@pytest.mark.parametrize("layout", LAYOUTS)
+def test_sharded_eval_curve_matches_single(layout):
+    """The gather-free per-layer NMSE curve (psum of local sums) matches
+    metrics.core.per_layer_nmse_db bit-for-tolerance (VERDICT r1 #6)."""
+    mesh = pmesh.make_mesh(data=2, model=4)
+    A, data, params = _setup()
+    ev_ref = evaluate(params, A, data)
+    params_s, A_s, batch_s = _put(mesh, data, params, A, layout)
+    ev = jax.device_get(make_sharded_eval(mesh, layout)(params_s, A_s, batch_s))
+    np.testing.assert_allclose(
+        np.asarray(ev["nmse_curve_db"]),
+        np.asarray(ev_ref["nmse_curve_db"]),
+        rtol=1e-4,
+        atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        float(ev["nmse_db"]), float(ev_ref["nmse_db"]), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        float(ev["residual"]), float(ev_ref["residual"]), rtol=1e-4
+    )
+
+
+@pytest.mark.parametrize("layout", LAYOUTS)
+def test_deep_supervision_matches_single_device(layout):
+    """Sharded per-layer (deep-supervision) loss == single-device
+    loss_fn with layer_weights (capture path, no trajectory gather)."""
+    mesh = pmesh.make_mesh(data=2, model=2)
+    A, data, params = _setup()
+    K = params.W1.shape[0]
+    lw = jnp.full((K,), 1.0 / K)
+    loss_ref = loss_fn(params, A, data.b, data.x_star, data.e_star, None, lw)
+    optimizer = optax.adam(1e-3)
+    params_s, A_s, batch_s = _put(mesh, data, params, A, layout)
+    state = TrainState(params_s, optimizer.init(params_s), jnp.zeros((), jnp.int32))
+    step = make_sharded_train_step(
+        optimizer, mesh, layout, layer_weights=lw, donate=False
+    )
+    _, loss = step(state, A_s, batch_s)
+    np.testing.assert_allclose(float(loss), float(loss_ref), rtol=1e-5)
+
+
+@pytest.mark.parametrize("layout", LAYOUTS)
+def test_bf16_and_freeze_sharded(layout):
+    """Mixed-precision sharded step: loss tracks fp32 closely, frozen
+    beta stays at its initial value, params move."""
+    mesh = pmesh.make_mesh(data=2, model=4)
+    A, data, params = _setup()
+    optimizer = optax.adam(1e-3)
+    loss_ref = float(
+        loss_fn(params, A, data.b, data.x_star, data.e_star, None, None, None)
+    )
+    params_s, A_s, batch_s = _put(mesh, data, params, A, layout)
+    cp = jax.tree.map(lambda v: v.astype(jnp.bfloat16), params_s)
+    state = TrainState(
+        params_s, optimizer.init(params_s), jnp.zeros((), jnp.int32), cp
+    )
+    step = make_sharded_train_step(
+        optimizer,
+        mesh,
+        layout,
+        compute_dtype=jnp.bfloat16,
+        freeze=("beta",),
+        donate=False,
+    )
+    state2, loss = step(state, A_s.astype(jnp.bfloat16), batch_s)
+    assert np.isfinite(float(loss))
+    assert abs(float(loss) - loss_ref) < 0.05 * abs(loss_ref) + 1e-3
+    np.testing.assert_array_equal(
+        np.asarray(state2.params.beta), np.asarray(params.beta)
+    )
+    assert not np.allclose(np.asarray(state2.params.W1), np.asarray(params.W1))
+    assert state2.compute_params.W1.dtype == jnp.bfloat16
+
+
+@pytest.mark.parametrize("vjp", ["auto", "xla"])
+def test_dp_fast_path_matches_single_device(vjp):
+    """DP-only fast path (single-chip perf stack inside shard_map):
+    manual reverse-scan VJP / XLA autodiff per shard + automatic grad
+    psum == single-device global-batch step (VERDICT r1 #2)."""
+    mesh = pmesh.make_mesh(data=8, model=1)
+    A, data, params = _setup()
+    optimizer = optax.adam(1e-3)
+    loss_ref, grads_ref = jax.value_and_grad(loss_fn)(
+        params, A, data.b, data.x_star, data.e_star, None, None, None, None,
+        None, vjp,
+    )
+    upd_ref, _ = optimizer.update(grads_ref, optimizer.init(params), params)
+    params_ref = optax.apply_updates(params, upd_ref)
+
+    params_s, A_s, batch_s = _put(mesh, data, params, A, "sharded_w2")
+    state = TrainState(params_s, optimizer.init(params_s), jnp.zeros((), jnp.int32))
+    step = make_dp_train_step(optimizer, mesh, vjp=vjp, donate=False)
+    state2, loss = step(state, A_s, batch_s)
+    np.testing.assert_allclose(float(loss), float(loss_ref), rtol=1e-5)
+    for got, want in zip(state2.params, params_ref):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=5e-5, atol=1e-6
+        )
+
+
+def test_dp_fast_path_megakernel_forward():
+    """The Pallas whole-unroll megakernel (interpret mode on CPU) runs
+    inside shard_map on the DP mesh and matches the reference step."""
+    from dladmm_tpu.models.api import select_forward
+
+    mesh = pmesh.make_mesh(data=4, model=1)
+    A, data, params = _setup(S=16)
+    forward_fn, step_fn, desc = select_forward(16, 64, 16, 4, kernel="auto")
+    assert desc != "xla-scan-reference"  # tiny shape must select a kernel
+    optimizer = optax.adam(1e-3)
+    loss_ref, grads_ref = jax.value_and_grad(loss_fn)(
+        params, A, data.b, data.x_star, data.e_star, None, None, None
+    )
+    upd_ref, _ = optimizer.update(grads_ref, optimizer.init(params), params)
+    params_ref = optax.apply_updates(params, upd_ref)
+
+    params_s, A_s, batch_s = _put(mesh, data, params, A, "sharded_w2")
+    state = TrainState(params_s, optimizer.init(params_s), jnp.zeros((), jnp.int32))
+    step = make_dp_train_step(
+        optimizer, mesh, step_fn=step_fn, forward_fn=forward_fn, donate=False
+    )
+    state2, loss = step(state, A_s, batch_s)
+    np.testing.assert_allclose(float(loss), float(loss_ref), rtol=2e-5)
     for got, want in zip(state2.params, params_ref):
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), rtol=5e-5, atol=1e-6
@@ -93,31 +242,44 @@ def test_mesh_validation():
     assert m.shape["data"] == 4 and m.shape["model"] == 2
 
 
+def test_memory_audit_tp_large():
+    """The tp_large acceptance shape (BASELINE.json:10) fits per-chip
+    HBM with layout=sharded_w2 and is correctly REJECTED with the
+    round-1 replicated_w2 layout (VERDICT r1 what's-missing #1)."""
+    from dladmm_tpu.parallel.memory import audit_or_raise, per_chip_bytes
+
+    bd = audit_or_raise(
+        8192, 16384, 20, 256, data_axis=1, model_axis=4, layout="sharded_w2"
+    )
+    assert bd.total <= 16e9 * 0.9
+    # Sharding W2 + moments is what saves it: the replicated layout's
+    # W2+moments alone exceed the whole sharded footprint.
+    bd_rep = per_chip_bytes(
+        8192, 16384, 20, 256, data_axis=1, model_axis=4, layout="replicated_w2"
+    )
+    assert bd_rep.total > 16e9
+    with pytest.raises(MemoryError):
+        audit_or_raise(
+            8192, 16384, 20, 256,
+            data_axis=1, model_axis=4, layout="replicated_w2",
+        )
+
+
 def test_sharded_training_improves_nmse():
     """Short sharded training run actually learns (DP=4, TP=2)."""
     mesh = pmesh.make_mesh(data=4, model=2)
     A, data, _ = _setup(S=32)
     params = init_dladmm_params(A, K=6)
     optimizer = optax.adam(3e-3)
-    sh = pmesh.param_shardings_tp(mesh)
-    from jax.sharding import NamedSharding
-
-    put = lambda v, spec: jax.device_put(v, NamedSharding(mesh, spec))
-    params = jax.device_put(params, sh["params"])
-    A_s = jax.device_put(A, sh["A"])
-    state = TrainState(params, optimizer.init(params), jnp.zeros((), jnp.int32))
+    params_s, A_s, _ = _put(mesh, data, params, A, "sharded_w2")
+    state = TrainState(params_s, optimizer.init(params_s), jnp.zeros((), jnp.int32))
     step = make_sharded_train_step(optimizer, mesh)
 
     key = jax.random.PRNGKey(1)
     first = last = None
     for i in range(60):
         key, sub = jax.random.split(key)
-        d = make_batch(sub, A, 32)
-        d = type(d)(
-            b=put(d.b, B_SPEC),
-            x_star=put(d.x_star, X_SPEC),
-            e_star=put(d.e_star, Z_SPEC),
-        )
+        d = _put_batch(mesh, make_batch(sub, A, 32))
         state, loss = step(state, A_s, d)
         if first is None:
             first = float(loss)
@@ -126,10 +288,9 @@ def test_sharded_training_improves_nmse():
 
 
 def test_fit_sharded_end_to_end():
-    """fit_sharded trains the sharded path end-to-end on the virtual
-    mesh and improves NMSE over the first eval."""
-    import dataclasses
-
+    """fit_sharded composes bf16 + deep supervision + sharded_w2 layout
+    end-to-end on the virtual mesh, improves NMSE, and emits the
+    per-layer curve (paper's signature artifact) for the sharded run."""
     from dladmm_tpu.train.loop import fit_sharded
     from dladmm_tpu.utils.config import (
         Config,
@@ -141,11 +302,42 @@ def test_fit_sharded_end_to_end():
     cfg = Config(
         name="test_sharded",
         problem=ProblemConfig(m=16, n=32, K=4),
-        train=TrainConfig(batch=16, steps=40, lr=1e-3, eval_every=10,
-                          eval_batch=32),
+        train=TrainConfig(
+            batch=16,
+            steps=40,
+            lr=1e-3,
+            eval_every=10,
+            eval_batch=32,
+            compute_dtype="bfloat16",
+            layer_loss="uniform",
+        ),
         sharding=ShardingConfig(data_axis=4, model_axis=2),
     )
     params, history = fit_sharded(cfg)
     assert history[-1]["mesh"] == "4x2"
     assert all(jnp.isfinite(h["loss"]) for h in history)
     assert history[-1]["nmse_db"] < history[0]["nmse_db"], history
+    curves = history[-1]["curves"]
+    assert len(curves["nmse_curve_db"]) == 4
+    assert len(curves["ladmm_curve_db"]) == 4
+    # Trained net beats the classical-LADMM curve at the final layer.
+    assert curves["nmse_curve_db"][-1] < curves["ladmm_curve_db"][-1]
+
+
+def test_fit_sharded_rejects_kernel_with_tp():
+    from dladmm_tpu.train.loop import fit_sharded
+    from dladmm_tpu.utils.config import (
+        Config,
+        ProblemConfig,
+        ShardingConfig,
+        TrainConfig,
+    )
+
+    cfg = Config(
+        name="bad",
+        problem=ProblemConfig(m=16, n=32, K=4),
+        train=TrainConfig(batch=16, steps=2, kernel="megakernel"),
+        sharding=ShardingConfig(data_axis=2, model_axis=2),
+    )
+    with pytest.raises(ValueError, match="model_axis"):
+        fit_sharded(cfg)

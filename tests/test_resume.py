@@ -31,3 +31,59 @@ def test_resume_reproduces_cold_run(tmp_path):
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-7
         )
+
+
+def _sharded_cfg(steps, compute_dtype="float32"):
+    from dladmm_tpu.utils.config import ShardingConfig
+
+    return Config(
+        name="ci_resume_sharded",
+        problem=ProblemConfig(m=16, n=32, K=4),
+        train=TrainConfig(
+            batch=16,
+            steps=steps,
+            lr=1e-3,
+            eval_every=10,
+            eval_batch=16,
+            seed=0,
+            compute_dtype=compute_dtype,
+        ),
+        sharding=ShardingConfig(data_axis=4, model_axis=2),
+    )
+
+
+def test_sharded_resume_reproduces_cold_run(tmp_path):
+    """Sharded checkpoint/resume on the 4x2 virtual mesh (VERDICT r1 #3):
+    orbax saves the TP-sharded params+opt_state, restore goes directly
+    into the sharded templates (utils/checkpoint._abstract_leaf), and
+    the resumed run reproduces the cold run BIT-exactly."""
+    from dladmm_tpu.train.loop import fit_sharded
+
+    params_full, hist_full = fit_sharded(_sharded_cfg(20))
+
+    ck = str(tmp_path / "ck_sharded")
+    fit_sharded(_sharded_cfg(10), ckpt_dir=ck)
+    params_resumed, hist_res = fit_sharded(
+        _sharded_cfg(20), ckpt_dir=ck, resume=True
+    )
+
+    for got, want in zip(params_resumed, params_full):
+        assert got.sharding == want.sharding  # restored INTO the mesh layout
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    assert hist_res[-1]["nmse_db"] == hist_full[-1]["nmse_db"]
+
+
+def test_sharded_resume_bf16(tmp_path):
+    """Mixed-precision sharded resume: the persistent bf16 copy is
+    derivable state — stripped at save, rebuilt at restore — and the
+    resumed run still reproduces the cold run exactly."""
+    from dladmm_tpu.train.loop import fit_sharded
+
+    params_full, _ = fit_sharded(_sharded_cfg(20, "bfloat16"))
+    ck = str(tmp_path / "ck_bf16")
+    fit_sharded(_sharded_cfg(10, "bfloat16"), ckpt_dir=ck)
+    params_resumed, _ = fit_sharded(
+        _sharded_cfg(20, "bfloat16"), ckpt_dir=ck, resume=True
+    )
+    for got, want in zip(params_resumed, params_full):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
