@@ -4,3 +4,8 @@ from dladmm_tpu.parallel.mesh import (  # noqa: F401
     replicated,
     param_shardings_tp,
 )
+from dladmm_tpu.parallel.memory import (  # noqa: F401
+    audit_or_raise,
+    per_chip_bytes,
+    step_traffic_bytes,
+)

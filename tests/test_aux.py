@@ -82,3 +82,41 @@ def test_nan_debug_flag_toggles():
         jnp.log(-jnp.ones(4)).block_until_ready()
     enable_nan_debug(False)
     jnp.log(-jnp.ones(4)).block_until_ready()  # silent NaN again
+
+
+def test_traffic_model_sanity():
+    """ICI/DCN traffic model invariants (parallel/memory.py): sharded_w2
+    adds the z1 all-gather on top of the psum; DP allreduce scales with
+    the param shard; DCN flagged only for multi-host."""
+    from dladmm_tpu.parallel.memory import per_chip_bytes, step_traffic_bytes
+
+    sh = step_traffic_bytes(256, 512, 8, 128, data_axis=2, model_axis=4)
+    rep = step_traffic_bytes(
+        256, 512, 8, 128, data_axis=2, model_axis=4, layout="replicated_w2"
+    )
+    assert sh["tp_detail"]["gather_fwd"] > 0
+    assert rep["tp_detail"]["gather_fwd"] == 0
+    assert sh["tp_ici_bytes_per_step"] > rep["tp_ici_bytes_per_step"]
+    assert not sh["dp_crosses_dcn"]
+    mh = step_traffic_bytes(
+        1000, 2000, 20, 65536, data_axis=8, model_axis=1, hosts=2
+    )
+    assert mh["dp_crosses_dcn"] and mh["dcn_bytes_per_step"] > 0
+    assert mh["tp_ici_bytes_per_step"] == 0  # no model axis
+    # Sharded params shrink the per-chip DP allreduce vs replicated W2.
+    p_sh = per_chip_bytes(256, 512, 8, 128, 2, 4).params
+    p_rep = per_chip_bytes(256, 512, 8, 128, 2, 4, "replicated_w2").params
+    assert p_sh < p_rep
+
+
+def test_comm_model_cli(tmp_path, capsys):
+    from dladmm_tpu.bench.comm_model import main
+
+    out = tmp_path / "cm.json"
+    assert main(["--config", "tp_large", "--out", str(out)]) == 0
+    import json
+
+    rows = json.loads(out.read_text())
+    layouts = {r["layout"]: r for r in rows}
+    assert layouts["sharded_w2"]["fits_16gb_chip"]
+    assert not layouts["replicated_w2"]["fits_16gb_chip"]
