@@ -137,6 +137,25 @@ def main() -> None:
         ref_step, make_train_state(p2, opt2), iters=512
     )
 
+    # Paper config at batch 1024 via the batch-chunked backward
+    # megakernel (round 2 — beats the round-1 527 us manual-VJP best).
+    d3 = make_batch(kb, A2, 1024)
+    shipped2 = make_train_step_from_batch(
+        opt2,
+        A2,
+        forward_fn=mega,
+        compute_dtype=bf,
+        donate=False,
+    )
+
+    def big_step(state):
+        new_state, _ = shipped2(state, d3)
+        return new_state
+
+    t_big = _chained_train_time(
+        big_step, make_train_state(p2, opt2, bf), iters=128
+    )
+
     value = K * S / t_fast
     print(
         json.dumps(
@@ -150,6 +169,12 @@ def main() -> None:
                     "straight_port_train_step_ms": round(t_port * 1e3, 3),
                     "paper_config_full_pallas_step_us": round(t_ref * 1e6, 1),
                     "paper_config_layer_iter_per_s": round(K2 * S2 / t_ref, 1),
+                    "paper_config_b1024_chunked_bf16_step_us": round(
+                        t_big * 1e6, 1
+                    ),
+                    "paper_config_b1024_layer_iter_per_s": round(
+                        K2 * 1024 / t_big, 1
+                    ),
                     "device": str(jax.devices()[0]),
                     "timing": "device-chained, two-point calibrated, "
                     "scalar-fetch synced",

@@ -19,7 +19,11 @@ import jax
 
 from dladmm_tpu.models.unroll import dladmm_forward
 from dladmm_tpu.ops.pallas_layer import auto_fused_step, weights_fit_vmem
-from dladmm_tpu.ops.pallas_unroll import make_unrolled_forward, unroll_fits_vmem
+from dladmm_tpu.ops.pallas_unroll import (
+    make_unrolled_forward,
+    unroll_fits_vmem,
+    unroll_tile_batch,
+)
 
 ForwardFn = Callable  # (params, A, b) -> (x, z, lam)
 
@@ -48,8 +52,16 @@ def select_forward(
             return None, step, "scan+fused-layer-kernel"
         return None, None, "xla-scan-reference"
     if kernel in ("auto", "pallas", "megakernel"):
-        if unroll_fits_vmem(m, n, d, S):
+        bs = unroll_tile_batch(m, n, d, S)
+        if bs == S:
             return make_unrolled_forward(), None, "whole-unroll-megakernel"
+        if bs is not None:
+            # Tile-outer grid: state VMEM-resident per batch tile.
+            return (
+                make_unrolled_forward(),
+                None,
+                f"whole-unroll-megakernel-tiled-bs{bs}",
+            )
         step = auto_fused_step(m, n, d)
         if step is not None:
             return None, step, "scan+fused-layer-kernel"

@@ -49,8 +49,15 @@ def _unroll_kernel(
     ax_ref,
     *,
     matmul_dtype,
+    k_axis: int = 0,
 ):
-    k = pl.program_id(0)
+    # k_axis=1 is the tile-outer 2D grid (n_tiles, K): batch tiles are
+    # independent solves, so the tile axis goes OUTER — each tile's
+    # state blocks stay VMEM-resident for its whole unroll and flush
+    # once when the tile advances (weights re-stream per tile, the far
+    # smaller cost at large S). k resets per tile, so the k==0 init
+    # runs for every tile.
+    k = pl.program_id(k_axis)
 
     @pl.when(k == 0)
     def _init():
@@ -98,13 +105,33 @@ def unroll_fits_vmem(
     return 2 * layer_w + a_bytes + state <= _VMEM_BUDGET_BYTES
 
 
+def unroll_tile_batch(m: int, n: int, d: int, S: int) -> Optional[int]:
+    """Largest batch-tile size for the TILE-OUTER inference megakernel
+    (grid (S/bs, K) — see _unroll_kernel k_axis docstring), or None.
+    Extends megakernel inference past the whole-batch VMEM cliff (e.g.
+    serving buckets ≥ 2k at the reference shape); each tile re-streams
+    the weights, trading K*(nm+dm)*(S/bs) extra weight reads for the
+    scan path's K round-trips of the full state."""
+    if unroll_fits_vmem(m, n, d, S):
+        return S  # single tile == the 1-D whole-batch kernel
+    layer_w = (n * m + d * m) * 4
+    a_bytes = m * n * 4
+    for bs in (4096, 2048, 1024, 512, 256, 128, 64):
+        if S % bs or bs >= S:
+            continue
+        state = bs * (n + 3 * m + max(n, d)) * 4
+        if 2 * layer_w + a_bytes + 2 * state <= _VMEM_BUDGET_BYTES:
+            return bs
+    return None
+
+
 def traj_fits_vmem(m: int, n: int, d: int, S: int, itemsize: int = 4) -> bool:
     """The trajectory VARIANT (the VJP forward) needs more VMEM than the
     inference kernel: fp32 working scratch for the full state PLUS
     double-buffered per-layer output blocks for the 4 trajectory stacks.
     Shapes can pass unroll_fits_vmem but fail this (e.g. 64x256 patches
-    at S~4k) — the VJP forward then falls back to an XLA scan while the
-    backward stays manual."""
+    at S~4k) — the VJP forward then tiles the batch (traj_tile_batch) or
+    falls back to an XLA scan while the backward stays manual."""
     layer_w = 2 * (n * m + d * m) * 4
     a_bytes = m * n * 4
     scratch = S * (n + d + 2 * m) * 4  # fp32 x,z,lam,Ax working state
@@ -114,6 +141,24 @@ def traj_fits_vmem(m: int, n: int, d: int, S: int, itemsize: int = 4) -> bool:
         layer_w + a_bytes + scratch + out_blocks + temps
         <= _VMEM_BUDGET_BYTES
     )
+
+
+def traj_tile_batch(
+    m: int, n: int, d: int, S: int, itemsize: int = 4
+) -> Optional[int]:
+    """Largest batch-tile for the tile-outer TRAJECTORY megakernel
+    (grid (S/bs, K)), or None — extends megakernel-speed VJP forwards /
+    deep-supervision trajectories past the whole-batch cliff (e.g. the
+    paper shape at batch 1024, whose training step otherwise runs an
+    XLA-scan trajectory in front of the chunked Pallas backward)."""
+    if traj_fits_vmem(m, n, d, S, itemsize):
+        return S
+    for bs in (2048, 1024, 512, 256, 128, 64):
+        if S % bs or bs >= S:
+            continue
+        if traj_fits_vmem(m, n, d, bs, itemsize):
+            return bs
+    return None
 
 
 def _unrolled_forward_pallas(
@@ -135,26 +180,55 @@ def _unrolled_forward_pallas(
     )
     beta = params.beta.reshape(K, 1).astype(jnp.float32)  # SMEM scalars must be 32-bit on TPU
 
-    whole = lambda shape: pl.BlockSpec(
-        shape, lambda k: (0,) * len(shape), memory_space=pltpu.VMEM
-    )
-    per_layer = lambda *dims: pl.BlockSpec(
-        (1,) + dims, lambda k: (k,) + (0,) * len(dims), memory_space=pltpu.VMEM
+    bs = unroll_tile_batch(m, n, d, S)
+    if bs is None:
+        raise ValueError(
+            f"no megakernel tile fits VMEM for shape m={m} n={n} S={S}"
+        )
+    n_tiles = S // bs
+    if n_tiles == 1:
+        grid = (K,)
+        k_axis = 0
+        tile = lambda *dims: pl.BlockSpec(
+            dims, lambda k: (0,) * len(dims), memory_space=pltpu.VMEM
+        )
+        per_layer = lambda *dims: pl.BlockSpec(
+            (1,) + dims,
+            lambda k: (k,) + (0,) * len(dims),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        # Tile-outer 2-D grid: see _unroll_kernel's k_axis docstring.
+        grid = (n_tiles, K)
+        k_axis = 1
+        tile = lambda bs_, dim: pl.BlockSpec(
+            (bs_, dim), lambda ps, k: (ps, 0), memory_space=pltpu.VMEM
+        )
+        per_layer = lambda *dims: pl.BlockSpec(
+            (1,) + dims,
+            lambda ps, k: (k,) + (0,) * len(dims),
+            memory_space=pltpu.VMEM,
+        )
+    whole_A = pl.BlockSpec(
+        (m, n), (lambda k: (0, 0)) if n_tiles == 1 else (lambda ps, k: (0, 0)),
+        memory_space=pltpu.VMEM,
     )
 
     x, z, lam, _ = pl.pallas_call(
-        functools.partial(_unroll_kernel, matmul_dtype=matmul_dtype),
-        grid=(K,),
+        functools.partial(
+            _unroll_kernel, matmul_dtype=matmul_dtype, k_axis=k_axis
+        ),
+        grid=grid,
         in_specs=[
-            whole((S, m)),  # b
-            whole((m, n)),  # A
+            tile(bs, m),  # b
+            whole_A,  # A
             per_layer(n, m),  # W1
             per_layer(d, m),  # W2
             per_layer(1, n),  # th1
             per_layer(1, d),  # th2
             pl.BlockSpec(memory_space=pltpu.SMEM),  # beta (K, 1)
         ],
-        out_specs=[whole((S, n)), whole((S, d)), whole((S, m)), whole((S, m))],
+        out_specs=[tile(bs, n), tile(bs, d), tile(bs, m), tile(bs, m)],
         out_shape=[
             jax.ShapeDtypeStruct((S, n), b.dtype),
             jax.ShapeDtypeStruct((S, d), b.dtype),
@@ -164,7 +238,7 @@ def _unrolled_forward_pallas(
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * S * m * (2 * n + d) * K,
-            bytes_accessed=K * (n * m + d * m) * 4
+            bytes_accessed=n_tiles * K * (n * m + d * m) * 4
             + (m * n + S * (2 * n + 2 * d + 3 * m)) * 4,
             transcendentals=0,
         ),
@@ -190,13 +264,15 @@ def _unroll_traj_kernel(
     *refs,
     matmul_dtype,
     with_tax,
+    k_axis: int = 0,
 ):
     if with_tax:
         tx_ref, tz_ref, tlam_ref, tax_ref, x_s, z_s, lam_s, ax_s = refs
     else:
         tx_ref, tz_ref, tlam_ref, x_s, z_s, lam_s, ax_s = refs
         tax_ref = None
-    k = pl.program_id(0)
+    # k_axis=1: tile-outer 2-D grid (n_tiles, K) — see _unroll_kernel.
+    k = pl.program_id(k_axis)
 
     @pl.when(k == 0)
     def _init():
@@ -284,33 +360,67 @@ def _traj_pallas(params, A, b, *, matmul_dtype, interpret, with_tax=True):
         params.theta2.reshape(K, 1, -1).astype(b.dtype), (K, 1, d)
     )
     beta = params.beta.reshape(K, 1).astype(jnp.float32)  # SMEM scalars must be 32-bit on TPU
-    whole = lambda shape: pl.BlockSpec(
-        shape, lambda k: (0,) * len(shape), memory_space=pltpu.VMEM
-    )
-    per_layer = lambda *dims: pl.BlockSpec(
-        (1,) + dims,
-        lambda k: (k,) + (0,) * len(dims),
+    bs = traj_tile_batch(m, n, d, S, b.dtype.itemsize)
+    if bs is None:
+        raise ValueError(
+            f"no trajectory-kernel tile fits VMEM for m={m} n={n} S={S}"
+        )
+    n_tiles = S // bs
+    if n_tiles == 1:
+        grid = (K,)
+        k_axis = 0
+        tile = lambda bs_, dim: pl.BlockSpec(
+            (bs_, dim), lambda k: (0, 0), memory_space=pltpu.VMEM
+        )
+        per_layer = lambda *dims: pl.BlockSpec(
+            (1,) + dims,
+            lambda k: (k,) + (0,) * len(dims),
+            memory_space=pltpu.VMEM,
+        )
+        traj_block = lambda dim: per_layer(S, dim)
+    else:
+        # Tile-outer 2-D grid (see _unroll_kernel k_axis docstring);
+        # trajectory blocks index both (layer, tile).
+        grid = (n_tiles, K)
+        k_axis = 1
+        tile = lambda bs_, dim: pl.BlockSpec(
+            (bs_, dim), lambda ps, k: (ps, 0), memory_space=pltpu.VMEM
+        )
+        per_layer = lambda *dims: pl.BlockSpec(
+            (1,) + dims,
+            lambda ps, k: (k,) + (0,) * len(dims),
+            memory_space=pltpu.VMEM,
+        )
+        traj_block = lambda dim: pl.BlockSpec(
+            (1, bs, dim),
+            lambda ps, k: (k, ps, 0),
+            memory_space=pltpu.VMEM,
+        )
+    whole_A = pl.BlockSpec(
+        (m, n),
+        (lambda k: (0, 0)) if n_tiles == 1 else (lambda ps, k: (0, 0)),
         memory_space=pltpu.VMEM,
     )
-    out_specs = [per_layer(S, n), per_layer(S, d), per_layer(S, m)]
+    out_specs = [traj_block(n), traj_block(d), traj_block(m)]
     out_shape = [
         jax.ShapeDtypeStruct((K, S, n), b.dtype),
         jax.ShapeDtypeStruct((K, S, d), b.dtype),
         jax.ShapeDtypeStruct((K, S, m), b.dtype),
     ]
     if with_tax:
-        out_specs.append(per_layer(S, m))
+        out_specs.append(traj_block(m))
         out_shape.append(jax.ShapeDtypeStruct((K, S, m), b.dtype))
     return pl.pallas_call(
         functools.partial(
             _unroll_traj_kernel,
             matmul_dtype=matmul_dtype,
             with_tax=with_tax,
+            k_axis=k_axis,
         ),
-        grid=(K,),
+        grid=grid,
         in_specs=[
-            whole((S, m)),
-            whole((m, n)),
+            tile(bs, m),
+            whole_A,
             per_layer(n, m),
             per_layer(d, m),
             per_layer(1, n),
@@ -320,10 +430,10 @@ def _traj_pallas(params, A, b, *, matmul_dtype, interpret, with_tax=True):
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((S, n), jnp.float32),
-            pltpu.VMEM((S, d), jnp.float32),
-            pltpu.VMEM((S, m), jnp.float32),
-            pltpu.VMEM((S, m), jnp.float32),
+            pltpu.VMEM((bs, n), jnp.float32),
+            pltpu.VMEM((bs, d), jnp.float32),
+            pltpu.VMEM((bs, m), jnp.float32),
+            pltpu.VMEM((bs, m), jnp.float32),
         ],
         interpret=interpret,
     )(b, A, params.W1, params.W2, th1, th2, beta)
@@ -334,7 +444,11 @@ def _traj_any(params, A, b, *, matmul_dtype, interpret, with_tax=True):
     else the XLA-scan fallback (identical layout and math)."""
     K, n, m = params.W1.shape
     d = params.W2.shape[1]
-    if interpret or traj_fits_vmem(m, n, d, b.shape[0], b.dtype.itemsize):
+    if (
+        interpret
+        or traj_tile_batch(m, n, d, b.shape[0], b.dtype.itemsize)
+        is not None
+    ):
         return _traj_pallas(
             params,
             A,

@@ -116,12 +116,24 @@ PRESETS = {
         train=TrainConfig(batch=128, steps=200, eval_every=50),
         sharding=ShardingConfig(data_axis=4, model_axis=2),
     ),
-    # BASELINE.json:10 — TP block-partitioned dictionary.
+    # BASELINE.json:10 — TP block-partitioned dictionary. fp32 at TP=4
+    # fits a v5e's HBM only with the sharded_w2 layout (~13.2 GB/chip —
+    # parallel/memory.py audits at startup; the round-1 replicated-W2
+    # layout needed ~25 GB and is refused).
     "tp_large": Config(
         name="tp_large",
         problem=ProblemConfig(m=8192, n=16384, K=20),
         train=TrainConfig(batch=256),
         sharding=ShardingConfig(model_axis=4),
+    ),
+    # Same acceptance shape with the full mixed-precision stack composed
+    # into the TP step (persistent sharded bf16 copy): needs TP=8 for
+    # the extra copy+activation bytes (~7.7 GB/chip).
+    "tp_large_bf16": Config(
+        name="tp_large_bf16",
+        problem=ProblemConfig(m=8192, n=16384, K=20),
+        train=TrainConfig(batch=256, compute_dtype="bfloat16"),
+        sharding=ShardingConfig(model_axis=8),
     ),
     # BASELINE.json:11 — multi-host scenario-batched training.
     "multihost": Config(

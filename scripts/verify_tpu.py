@@ -104,6 +104,46 @@ def main() -> int:
         for name, r, p_ in zip(params._fields, g_ref, g_pl):
             ok &= check(f"pallas-bwd grad {name}", p_, r, tol_g)
 
+        # Tile-outer inference megakernel at a serving bucket the
+        # whole-batch kernel cannot fit (grid (S/bs, K)).
+        from dladmm_tpu.ops.pallas_unroll import (
+            _unrolled_forward_pallas,
+            unroll_tile_batch,
+        )
+
+        S_serve = 2048
+        bs_t = unroll_tile_batch(m, n, m, S_serve)
+        if bs_t is not None and bs_t < S_serve:
+            b_srv = cast(make_batch(kb, A0, S_serve).b)
+            ref_sx, _, ref_slam = dladmm_forward(params, A, b_srv)
+            xt, _, lamt = jax.jit(
+                lambda p, a, bb: _unrolled_forward_pallas(
+                    p, a, bb, matmul_dtype=None, interpret=False
+                )
+            )(params, A, b_srv)
+            ok &= check(f"tiled megakernel (bs={bs_t}) x", xt, ref_sx, tol_f)
+            ok &= check(
+                f"tiled megakernel (bs={bs_t}) lam", lamt, ref_slam, tol_f
+            )
+
+        # Tile-outer trajectory megakernel at batch 1024 (VJP forward).
+        from dladmm_tpu.ops.pallas_unroll import _traj_pallas, traj_tile_batch
+
+        S_tr = 1024
+        bs_tr = traj_tile_batch(m, n, m, S_tr, jnp.dtype(dt).itemsize)
+        if bs_tr is not None and bs_tr < S_tr:
+            b_tr = cast(make_batch(kb, A0, S_tr).b)
+            ref_tx, _, _ = dladmm_forward(params, A, b_tr)
+            ttx, _, _, _ = jax.jit(
+                lambda p, a, bb: _traj_pallas(
+                    p, a, bb, matmul_dtype=None, interpret=False,
+                    with_tax=True,
+                )
+            )(params, A, b_tr)
+            ok &= check(
+                f"tiled trajectory (bs={bs_tr}) x[-1]", ttx[-1], ref_tx, tol_f
+            )
+
         # Batch-chunked backward megakernel at the batch-1024 shape the
         # whole-batch kernel cannot fit (grid (K, S/bs), k outer).
         from dladmm_tpu.ops.pallas_bwd import (

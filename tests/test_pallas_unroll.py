@@ -103,3 +103,58 @@ def test_traj_fits_vmem_gates_vjp_forward():
     # Reference config fits both.
     assert unroll_fits_vmem(250, 500, 250, 64)
     assert traj_fits_vmem(250, 500, 250, 64)
+
+
+def test_tile_batch_eligibility():
+    """Tile-outer kernels cover the serving/VJP shapes the whole-batch
+    kernels cannot (round 2): reference shape at bucket 4096 (inference)
+    and batch 1024 (trajectory)."""
+    from dladmm_tpu.ops.pallas_unroll import (
+        traj_fits_vmem,
+        traj_tile_batch,
+        unroll_tile_batch,
+    )
+
+    assert unroll_tile_batch(250, 500, 250, 64) == 64  # whole batch
+    bs = unroll_tile_batch(250, 500, 250, 4096)
+    assert bs is not None and bs < 4096 and 4096 % bs == 0
+    assert not traj_fits_vmem(250, 500, 250, 1024)
+    bt = traj_tile_batch(250, 500, 250, 1024)
+    assert bt is not None and bt < 1024 and 1024 % bt == 0
+
+
+def test_tiled_forward_parity(monkeypatch):
+    """Tile-outer inference megakernel (grid (S/bs, K)) == scan path.
+    The tiny test shape fits whole-batch, so force bs < S to exercise
+    the 2-D grid in interpret mode."""
+    import dladmm_tpu.ops.pallas_unroll as pu
+
+    m, n, K, S = 24, 48, 5, 16
+    A, data, params = _setup(m, n, K, S)
+    x_ref, z_ref, lam_ref = dladmm_forward(params, A, data.b)
+    monkeypatch.setattr(pu, "unroll_tile_batch", lambda *a, **k: 4)
+    x, z, lam = pu._unrolled_forward_pallas(
+        params, A, data.b, matmul_dtype=None, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref), rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(z_ref), rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(lam), np.asarray(lam_ref), rtol=2e-5, atol=1e-6)
+
+
+def test_tiled_trajectory_parity(monkeypatch):
+    """Tile-outer trajectory megakernel == scan trajectory (stacked
+    (K, S, ·) layout assembled from (layer, tile)-indexed blocks)."""
+    import dladmm_tpu.ops.pallas_unroll as pu
+
+    m, n, K, S = 24, 48, 5, 16
+    A, data, params = _setup(m, n, K, S)
+    traj_ref = pu._traj_xla(params, A, data.b)
+    monkeypatch.setattr(pu, "traj_tile_batch", lambda *a, **k: 4)
+    traj = pu._traj_pallas(
+        params, A, data.b, matmul_dtype=None, interpret=True, with_tax=True
+    )
+    for name, got, want in zip(("tx", "tz", "tlam", "tax"), traj, traj_ref):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-5, atol=1e-6,
+            err_msg=name,
+        )
