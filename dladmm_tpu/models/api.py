@@ -46,10 +46,28 @@ def select_forward(
     if kernel == "reference" or not identity_B:
         return None, None, "xla-scan-reference"
     if need_trajectory:
-        # Trajectory capture requires the scan's stacked ys.
-        step = auto_fused_step(m, n, d)
-        if kernel in ("auto", "pallas") and step is not None:
-            return None, step, "scan+fused-layer-kernel"
+        # Deep supervision / trajectory losses: forward_fn returns the
+        # STACKED (K, S, ·) trajectory (loss_fn contract). The
+        # trajectory megakernel (tiled when the whole batch exceeds
+        # VMEM) carries a custom_vjp that folds per-layer cotangents
+        # into the manual reverse-scan backward. NOTE: XLA autodiff
+        # through a scan of the fused-layer custom_vjp step (the round-1
+        # selection here) wedges the TPU compiler at this combination —
+        # measured round 2; the reference scan is the safe fallback.
+        from dladmm_tpu.ops.pallas_unroll import (
+            make_unrolled_trajectory,
+            traj_tile_batch,
+        )
+
+        if (
+            kernel in ("auto", "pallas", "megakernel")
+            and traj_tile_batch(m, n, d, S) is not None
+        ):
+            return (
+                make_unrolled_trajectory(),
+                None,
+                "trajectory-megakernel",
+            )
         return None, None, "xla-scan-reference"
     if kernel in ("auto", "pallas", "megakernel"):
         bs = unroll_tile_batch(m, n, d, S)

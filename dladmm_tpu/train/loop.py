@@ -76,9 +76,14 @@ def loss_fn(
 ) -> Array:
     """MSE to ground truth; final layer only, or gamma-weighted per layer.
 
-    forward_fn (e.g. the whole-unroll megakernel from models.api) replaces
-    the scan entirely for the final-layer loss; deep supervision needs the
-    scan's stacked trajectory and ignores it.
+    forward_fn (selected by models.api) replaces the scan entirely. Its
+    CONTRACT DEPENDS ON THE LOSS: for the final-layer loss it returns the
+    final state (x, z, lam); with layer_weights (deep supervision) it
+    must return the STACKED per-layer trajectory (tx, tz, tlam) of shape
+    (K, S, ·) — models.api.select_forward(need_trajectory=True) returns
+    the trajectory megakernel, whose custom_vjp folds the per-layer
+    cotangents into the shared reverse-scan backward
+    (ops/unroll_vjp.py bwd_from_carries traj_cts).
 
     compute_dtype=jnp.bfloat16 runs the entire unroll in bf16 (master
     params stay fp32 in the optimizer; loss/grads accumulate fp32) —
@@ -129,9 +134,12 @@ def loss_fn(
         else:
             x, z, _ = dladmm_forward(params, A, b, B=B, step_fn=step_fn)
         return jnp.mean((x - x_star) ** 2) + jnp.mean((z - z_star) ** 2)
-    _, (tx, tz, _) = dladmm_forward(
-        params, A, b, B=B, capture_trajectory=True, step_fn=step_fn
-    )
+    if forward_fn is not None:
+        tx, tz, _ = forward_fn(params, A, b)
+    else:
+        _, (tx, tz, _) = dladmm_forward(
+            params, A, b, B=B, capture_trajectory=True, step_fn=step_fn
+        )
     per_layer = jnp.mean((tx - x_star) ** 2, axis=(1, 2)) + jnp.mean(
         (tz - z_star) ** 2, axis=(1, 2)
     )

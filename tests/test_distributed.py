@@ -206,6 +206,39 @@ def test_dp_fast_path_matches_single_device(vjp):
         )
 
 
+def test_dp_fast_path_deep_supervision():
+    """DP fast path + deep supervision: the trajectory-megakernel
+    forward (models/api need_trajectory selection) runs per-shard inside
+    shard_map and matches the single-device deep-supervised step."""
+    from dladmm_tpu.models.api import select_forward
+
+    mesh = pmesh.make_mesh(data=4, model=1)
+    A, data, params = _setup(S=16)
+    K = params.W1.shape[0]
+    lw = jnp.full((K,), 1.0 / K)
+    fwd, step_fn, desc = select_forward(16, 64, 16, 4, need_trajectory=True)
+    assert desc == "trajectory-megakernel"
+    optimizer = optax.adam(1e-3)
+    loss_ref, grads_ref = jax.value_and_grad(loss_fn)(
+        params, A, data.b, data.x_star, data.e_star, None, lw
+    )
+    upd_ref, _ = optimizer.update(grads_ref, optimizer.init(params), params)
+    params_ref = optax.apply_updates(params, upd_ref)
+
+    params_s, A_s, batch_s = _put(mesh, data, params, A, "sharded_w2")
+    state = TrainState(params_s, optimizer.init(params_s), jnp.zeros((), jnp.int32))
+    step = make_dp_train_step(
+        optimizer, mesh, layer_weights=lw, forward_fn=fwd, step_fn=step_fn,
+        donate=False,
+    )
+    state2, loss = step(state, A_s, batch_s)
+    np.testing.assert_allclose(float(loss), float(loss_ref), rtol=2e-5)
+    for got, want in zip(state2.params, params_ref):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=5e-5, atol=1e-6
+        )
+
+
 def test_dp_fast_path_megakernel_forward():
     """The Pallas whole-unroll megakernel (interpret mode on CPU) runs
     inside shard_map on the DP mesh and matches the reference step."""

@@ -158,3 +158,37 @@ def test_tiled_trajectory_parity(monkeypatch):
             np.asarray(got), np.asarray(want), rtol=2e-5, atol=1e-6,
             err_msg=name,
         )
+
+
+def test_deep_supervision_trajectory_megakernel_grads():
+    """select_forward(need_trajectory=True) now returns the trajectory
+    megakernel; deep-supervision loss + grads through it match the XLA
+    reference scan (round-2: the old scan+fused-step selection wedged
+    the TPU compiler — models/api.py)."""
+    from dladmm_tpu.models.api import select_forward
+    from dladmm_tpu.train.loop import loss_fn
+
+    m, n, K, S = 24, 48, 5, 16
+    A, data, params = _setup(m, n, K, S)
+    lw = jnp.full((K,), 1.0 / K)
+    fwd, step, desc = select_forward(m, n, m, S, need_trajectory=True)
+    assert desc == "trajectory-megakernel" and step is None
+
+    def loss_ref(p):
+        return loss_fn(p, A, data.b, data.x_star, data.e_star, None, lw)
+
+    def loss_mk(p):
+        return loss_fn(
+            p, A, data.b, data.x_star, data.e_star, None, lw,
+            forward_fn=fwd,
+        )
+
+    l_ref, g_ref = jax.value_and_grad(loss_ref)(params)
+    l_mk, g_mk = jax.value_and_grad(loss_mk)(params)
+    np.testing.assert_allclose(float(l_mk), float(l_ref), rtol=1e-5)
+    for name, r, got in zip(params._fields, g_ref, g_mk):
+        scale = np.abs(np.asarray(r)).max() + 1e-12
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(r), rtol=3e-5, atol=3e-5 * scale,
+            err_msg=name,
+        )
