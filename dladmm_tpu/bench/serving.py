@@ -28,7 +28,8 @@ def _cal_latency(fn, args, hi=256):
     return time_chained(lambda b: b0 + 1e-12 * fn(b)[1], b0, iters=hi)
 
 
-def measure(m=250, n=500, K=15, buckets=(1, 8, 64, 256), kernel="auto",
+def measure(m=250, n=500, K=15,
+            buckets=(1, 8, 64, 256, 1024, 2048, 4096), kernel="auto",
             dtype=None):
     from dladmm_tpu.data.synthetic import make_batch, make_dictionary
     from dladmm_tpu.models.api import resolve_forward

@@ -59,15 +59,19 @@ def select_forward(
             traj_tile_batch,
         )
 
-        if (
-            kernel in ("auto", "pallas", "megakernel")
-            and traj_tile_batch(m, n, d, S) is not None
-        ):
-            return (
-                make_unrolled_trajectory(),
-                None,
-                "trajectory-megakernel",
+        if kernel in ("auto", "pallas", "megakernel"):
+            # make_unrolled_trajectory internally picks the (tiled)
+            # Pallas trajectory kernel when a tile fits VMEM and an
+            # XLA-scan trajectory otherwise; EITHER way the backward is
+            # the manual reverse-scan with folded per-layer cotangents —
+            # so even the flagship shape gets the manual VJP's
+            # residual-traffic win for deep supervision.
+            desc = (
+                "trajectory-megakernel"
+                if traj_tile_batch(m, n, d, S) is not None
+                else "trajectory-xla-fwd+manual-bwd"
             )
+            return make_unrolled_trajectory(), None, desc
         return None, None, "xla-scan-reference"
     if kernel in ("auto", "pallas", "megakernel"):
         bs = unroll_tile_batch(m, n, d, S)

@@ -25,7 +25,12 @@ def main(argv=None) -> int:
         choices=["auto", "megakernel", "pallas", "reference"],
         default=None,
     )
-    ap.add_argument("--layer-loss", choices=["uniform"], default=None)
+    # "none" selects the final-layer-only loss (deep supervision is the
+    # synthetic presets' default since round 2 — measured better in
+    # BASELINE.md); default None keeps the preset's setting.
+    ap.add_argument(
+        "--layer-loss", choices=["uniform", "none"], default=None
+    )
     ap.add_argument(
         "--vjp",
         choices=["auto", "manual", "xla"],
@@ -51,7 +56,9 @@ def main(argv=None) -> int:
         if v is not None:
             overrides[f] = v
     if args.layer_loss is not None:
-        overrides["layer_loss"] = args.layer_loss
+        overrides["layer_loss"] = (
+            None if args.layer_loss == "none" else args.layer_loss
+        )
     if overrides:
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train, **overrides)

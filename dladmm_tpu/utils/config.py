@@ -79,7 +79,9 @@ class Config:
 PRESETS = {
     # BASELINE.json:7 — CPU-runnable PR1 reference config. Defaults are
     # the measured-best quality recipe (BASELINE.md): 10k cosine steps,
-    # clipped — -16.5 dB vs LADMM's -10.8 at K=15; ~1 s of device time.
+    # clipped, DEEP SUPERVISION (round 2: -17.5 dB / residual 0.020 vs
+    # -16.5 / 0.036 with the final-layer loss; LADMM is -10.8 at K=15);
+    # ~1 s of device time.
     "synthetic_small": Config(
         name="synthetic_small",
         problem=ProblemConfig(m=250, n=500, K=15),
@@ -90,10 +92,12 @@ PRESETS = {
             lr_schedule="cosine",
             clip_norm=1.0,
             eval_every=1000,
+            layer_loss="uniform",
         ),
     ),
-    # BASELINE.json:8 — single-chip MXU saturation case. -23.4 dB vs
-    # LADMM's -14.1 at K=20 with these defaults (~80 s of device time).
+    # BASELINE.json:8 — single-chip MXU saturation case. Deep
+    # supervision default (round 2): -23.8 dB / residual 0.017 vs
+    # LADMM's -14.1 at K=20 (~2 min of device time).
     # NOTE: peak lr above ~2e-4 destabilizes the unroll at this shape
     # (the layer map goes spectrally unstable) — see BASELINE.md.
     "synthetic_large": Config(
@@ -106,6 +110,7 @@ PRESETS = {
             lr_schedule="cosine",
             clip_norm=1.0,
             eval_every=1000,
+            layer_loss="uniform",
         ),
     ),
     # CPU/virtual-mesh-runnable sharded smoke config (same code path as
