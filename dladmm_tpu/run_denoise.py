@@ -76,8 +76,15 @@ def train_denoiser(
     seed=0,
     log_every=100,
     mode="denoise",
+    layer_loss=None,
 ):
-    """Train D-LADMM on patch data; returns trained params."""
+    """Train D-LADMM on patch data; returns trained params.
+
+    layer_loss="uniform" deep-supervises the RECONSTRUCTION at every
+    layer (uniform weights) through the trajectory path — the denoise
+    analog of run.py's default deep supervision (BASELINE.md quality
+    rows); None keeps the final-layer reconstruction loss.
+    """
     from dladmm_tpu.models.api import resolve_forward
     from dladmm_tpu.models.unroll import init_dladmm_params
 
@@ -93,10 +100,21 @@ def train_denoiser(
         for img in images
     )
     fwd, _ = resolve_forward(A.shape[0], A.shape[1], A.shape[0], S_epoch)
+    if layer_loss == "uniform":
+        from dladmm_tpu.ops.pallas_unroll import make_unrolled_trajectory
+
+        traj_fn = make_unrolled_trajectory()
+        lw = jnp.full((K,), 1.0 / K)
 
     @jax.jit
     def train_step(params, opt_state, b, tgt_res, tgt_noise):
         def loss_fn(params):
+            if layer_loss == "uniform":
+                tx, te, _ = traj_fn(params, A, b)  # (K, S, ·) stacks
+                recon = jnp.matmul(tx, A.T)
+                lr_ = jnp.mean((recon - tgt_res[None]) ** 2, axis=(1, 2))
+                le = jnp.mean((te - tgt_noise[None]) ** 2, axis=(1, 2))
+                return jnp.sum(lw * (lr_ + le))
             x, e, _ = fwd(params, A, b)
             recon = x @ A.T
             return jnp.mean((recon - tgt_res) ** 2) + jnp.mean(
@@ -169,6 +187,12 @@ def main(argv=None) -> int:
         "learned-dictionary format; data/fixtures.py) instead of --dict",
     )
     ap.add_argument("--density", type=float, default=0.1)
+    ap.add_argument(
+        "--layer-loss",
+        choices=["uniform", "none"],
+        default="none",
+        help="uniform = deep-supervise the reconstruction at every layer",
+    )
     ap.add_argument("--layers", type=int, default=15)
     ap.add_argument("--steps", type=int, default=400)
     ap.add_argument("--images", type=int, default=4)
@@ -225,6 +249,7 @@ def main(argv=None) -> int:
         steps=args.steps,
         density=args.density,
         mode=args.mode,
+        layer_loss=None if args.layer_loss == "none" else args.layer_loss,
     )
 
     results = []

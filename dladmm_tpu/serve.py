@@ -51,11 +51,25 @@ class InferenceServer:
         buckets: Optional[Sequence[int]] = None,
         donate_input: bool = False,
         dtype=None,
+        layers: Optional[int] = None,
     ):
         """dtype=jnp.bfloat16 serves in bf16 (params/A cast once at
         construction, requests cast per call): ~2x less HBM per solve.
         Accuracy impact at the benchmark shapes is ~0.1 dB NMSE —
-        measure for your dictionary before enabling."""
+        measure for your dictionary before enabling.
+
+        layers=k serves only the FIRST k of the trained K layers — an
+        early-exit latency/quality knob: the per-layer NMSE curve
+        (run.py's table) tells you exactly what each extra layer buys,
+        and a k-layer solve costs ~k/K of the full latency. Layer
+        parameters are untied (SURVEY.md §2 pt 1), so slicing the
+        stacked [K,...] pytree is exact — the k-layer net IS the trained
+        net's k-layer prefix (pinned by tests/test_serve.py)."""
+        if layers is not None:
+            K = params.W1.shape[0]
+            if not 1 <= layers <= K:
+                raise ValueError(f"layers must be in [1, {K}], got {layers}")
+            params = jax.tree.map(lambda v: v[:layers], params)
         if dtype is not None:
             params = jax.tree.map(lambda v: v.astype(dtype), params)
             A = A.astype(dtype)

@@ -298,6 +298,28 @@ def test_memory_audit_tp_large():
         )
 
 
+def test_memory_audit_tp_large_bf16_preset():
+    """tp_large_bf16 (acceptance shape + the persistent bf16 copy) fits
+    at its preset TP=8 and is correctly rejected at TP=4 (the extra
+    copy/activation bytes push fp32-at-T=4's 13.2 GB over budget)."""
+    from dladmm_tpu.parallel.memory import audit_or_raise
+    from dladmm_tpu.utils.config import get_config
+
+    cfg = get_config("tp_large_bf16")
+    p, t, s = cfg.problem, cfg.train, cfg.sharding
+    assert t.compute_dtype == "bfloat16" and s.model_axis == 8
+    bd = audit_or_raise(
+        p.m, p.n, p.K, t.batch,
+        s.data_axis, s.model_axis, s.layout,
+        compute_dtype_bytes=2,
+    )
+    assert bd.total <= 16e9 * 0.9
+    with pytest.raises(MemoryError):
+        audit_or_raise(
+            p.m, p.n, p.K, t.batch, 1, 4, s.layout, compute_dtype_bytes=2
+        )
+
+
 def test_sharded_training_improves_nmse():
     """Short sharded training run actually learns (DP=4, TP=2)."""
     mesh = pmesh.make_mesh(data=4, model=2)

@@ -75,3 +75,18 @@ def test_bf16_server_close_to_fp32():
     d32 = float(nmse_db(x32, data.x_star))
     d16 = float(nmse_db(x16.astype(jnp.float32), data.x_star))
     assert abs(d16 - d32) < 0.25, (d16, d32)
+
+
+def test_early_exit_layer_slicing(server_and_data):
+    """layers=k serving == running the trained net's k-layer prefix
+    (untied per-layer params make the slice exact)."""
+    _, params, A, data = server_and_data
+    k = 3
+    s3 = InferenceServer(params, A, max_batch=16, layers=k)
+    x3, z3 = s3.solve(data.b[:16])
+    prefix = jax.tree.map(lambda v: v[:k], params)
+    xr, zr, _ = dladmm_forward(prefix, A, data.b[:16])
+    np.testing.assert_allclose(np.asarray(x3), np.asarray(xr), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(z3), np.asarray(zr), rtol=1e-5, atol=1e-6)
+    with pytest.raises(ValueError, match="layers"):
+        InferenceServer(params, A, max_batch=16, layers=0)
