@@ -140,11 +140,14 @@ PRESETS = {
         train=TrainConfig(batch=256, compute_dtype="bfloat16"),
         sharding=ShardingConfig(model_axis=8),
     ),
-    # BASELINE.json:11 — multi-host scenario-batched training.
+    # BASELINE.json:11 — multi-host scenario-batched training. DP-only
+    # mesh, so each chip's shard runs the full single-chip perf stack
+    # (manual VJP + persistent-bf16 mixed precision — round 2; quality
+    # parity measured in BASELINE.md "Mixed precision").
     "multihost": Config(
         name="multihost",
         problem=ProblemConfig(m=1000, n=2000, K=20),
-        train=TrainConfig(batch=65536),
+        train=TrainConfig(batch=65536, compute_dtype="bfloat16"),
         sharding=ShardingConfig(data_axis=8, multihost=True),
     ),
 }
