@@ -108,11 +108,15 @@ def main(argv=None) -> int:
             continue
         p, t = cfg.problem, cfg.train
         hosts = 2 if s.multihost else 1
+        # Activations/grads move in the compute dtype (the DP gradient
+        # allreduce psums bf16 grads in the mixed-precision step).
+        dtype_bytes = 2 if t.compute_dtype == "bfloat16" else 4
         for layout in ("sharded_w2", "replicated_w2"):
             rows.append(
                 analyze(
                     name, p.m, p.n, p.K, t.batch,
                     s.data_axis, s.model_axis, layout, hosts,
+                    dtype_bytes=dtype_bytes,
                 )
             )
     out = json.dumps(rows, indent=2)
