@@ -45,6 +45,14 @@ def main(argv=None) -> int:
     ap.add_argument(
         "--resume", action="store_true", help="resume from latest checkpoint"
     )
+    ap.add_argument(
+        "--greedy",
+        action="store_true",
+        help="greedy layer-wise training schedule (stage k trains the "
+        "k-layer prefix) + end-to-end fine-tune, instead of pure "
+        "end-to-end (SURVEY.md §10 Q5; measured comparison in "
+        "BASELINE.md)",
+    )
     args = ap.parse_args(argv)
 
     from dladmm_tpu.utils.config import get_config
@@ -143,14 +151,21 @@ def main(argv=None) -> int:
         )
     print(f"kernel path: {desc}", flush=True)
 
-    params, history = fit(
-        cfg,
-        log_fn=logger,
-        step_fn=step_fn,
-        forward_fn=forward_fn,
-        ckpt_dir=args.ckpt_dir,
-        resume=args.resume,
-    )
+    if args.greedy:
+        if args.ckpt_dir or args.resume:
+            ap.error("--greedy does not support --ckpt-dir/--resume")
+        from dladmm_tpu.train.loop import fit_greedy
+
+        params, history = fit_greedy(cfg, log_fn=logger)
+    else:
+        params, history = fit(
+            cfg,
+            log_fn=logger,
+            step_fn=step_fn,
+            forward_fn=forward_fn,
+            ckpt_dir=args.ckpt_dir,
+            resume=args.resume,
+        )
 
     last = history[-1]
     curves = last["curves"]

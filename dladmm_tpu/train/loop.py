@@ -385,6 +385,7 @@ def fit(
     forward_fn=None,
     ckpt_dir: Optional[str] = None,
     resume: bool = False,
+    init_params: Optional[DLADMMParams] = None,
 ):
     """Train a D-LADMM net per config; returns (params, history).
 
@@ -392,6 +393,8 @@ def fit(
     (SURVEY.md §5.1) — one call trains and periodically evaluates.
     With ckpt_dir, checkpoints params+opt_state+step at every eval;
     resume=True continues from the latest step_N found there.
+    init_params warm-starts from an existing net instead of the LADMM
+    init (fit_greedy's fine-tune pass uses this).
     """
     from dladmm_tpu.models.unroll import init_dladmm_params
 
@@ -405,7 +408,11 @@ def fit(
         A = make_dictionary(k_dict, p.m, p.n, dtype)
     B = None  # identity_B benchmark path; general B via explicit arg
 
-    params = init_dladmm_params(A, B, K=p.K, beta=p.beta, dtype=dtype)
+    params = (
+        init_params
+        if init_params is not None
+        else init_dladmm_params(A, B, K=p.K, beta=p.beta, dtype=dtype)
+    )
     optimizer = _build_optimizer(t)
 
     layer_weights = None
@@ -497,6 +504,109 @@ def fit(
         if log_fn:
             log_fn(rec)
     return state.params, history
+
+
+def fit_greedy(
+    config,
+    A: Optional[Array] = None,
+    log_fn=None,
+    steps_per_stage: Optional[int] = None,
+    finetune_steps: Optional[int] = None,
+):
+    """GREEDY layer-wise training — the alternative answer to
+    SURVEY.md §10 Q5 ("does the reference train per-layer greedily or
+    end-to-end only?"; the mount stayed empty, so both schedules are
+    provided — end-to-end is fit()).
+
+    Stage k trains the k-layer PREFIX end-to-end with the loss at layer
+    k, warm-starting from stage k-1's trained prefix; layers > k keep
+    their LADMM init (untied stacked params make prefix slicing exact).
+    An optional end-to-end fine-tune follows. Defaults split the
+    config's step budget half into K stages, half into the fine-tune, so
+    fit_greedy(cfg) and fit(cfg) consume comparable compute.
+
+    Measured comparison at the benchmark shapes is in BASELINE.md —
+    end-to-end with deep supervision remains the default recipe.
+    """
+    from dladmm_tpu.models.unroll import init_dladmm_params
+
+    p, t = config.problem, config.train
+    key = jax.random.PRNGKey(t.seed)
+    k_dict, k_eval, k_train = jax.random.split(key, 3)
+    dtype = jnp.dtype(t.dtype)
+    if A is None:
+        from dladmm_tpu.data.synthetic import make_dictionary
+
+        A = make_dictionary(k_dict, p.m, p.n, dtype)
+
+    params = init_dladmm_params(A, K=p.K, beta=p.beta, dtype=dtype)
+    per_stage = steps_per_stage or max(1, t.steps // (2 * p.K))
+    ft_steps = (
+        finetune_steps
+        if finetune_steps is not None
+        else max(0, t.steps - per_stage * p.K)
+    )
+    import dataclasses
+
+    # Each stage is short; use a constant lr (the cosine schedule's
+    # horizon is meaningless per-stage) and keep clipping.
+    optimizer = _build_optimizer(dataclasses.replace(t, lr_schedule=None))
+
+    history = []
+    for k in range(1, p.K + 1):
+        prefix = jax.tree.map(lambda v: v[:k], params)
+        step_fn = make_train_step(
+            optimizer,
+            A,
+            t.batch,
+            p.sparsity_x,
+            p.sparsity_e,
+            freeze=tuple(t.freeze),
+            vjp=getattr(t, "vjp", "auto"),
+            # donate=False: the k=K prefix ALIASES the full param
+            # buffers (v[:K] is the whole array) — donating the state
+            # would delete the stack we write the stage back into.
+            donate=False,
+        )
+        state = make_train_state(prefix, optimizer)
+        for i in range(per_stage):
+            sub = jax.random.fold_in(k_train, k * 1_000_000 + i)
+            state, loss = step_fn(state, sub)
+        params = jax.tree.map(
+            lambda full, pre: full.at[: pre.shape[0]].set(pre),
+            params,
+            state.params,
+        )
+        rec = {"stage": k, "loss": float(loss), "steps": per_stage}
+        history.append(rec)
+        if log_fn:
+            log_fn(rec)
+
+    eval_data = make_batch(
+        k_eval, A, t.eval_batch, p.sparsity_x, p.sparsity_e, dtype
+    )
+    if ft_steps:
+        ft_cfg = dataclasses.replace(
+            config,
+            train=dataclasses.replace(t, steps=ft_steps),
+        )
+        params, ft_hist = fit(
+            ft_cfg, A=A, log_fn=log_fn, init_params=params
+        )
+        history.extend(ft_hist)
+    else:
+        ev = evaluate(params, A, eval_data)
+        rec = {
+            "step": per_stage * p.K,
+            "loss": float("nan"),
+            "nmse_db": float(ev["nmse_db"]),
+            "residual": float(ev["residual"]),
+            "curves": ev,
+        }
+        history.append(rec)
+        if log_fn:
+            log_fn({k_: v for k_, v in rec.items() if k_ != "curves"})
+    return params, history
 
 
 def fit_sharded(

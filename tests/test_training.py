@@ -172,3 +172,29 @@ def test_training_with_general_B():
     assert float(loss) < float(loss0), (float(loss0), float(loss))
     x, z, _ = dladmm_forward(state.params, A, b, B=B)
     assert jnp.isfinite(x).all() and jnp.isfinite(z).all()
+
+
+def test_greedy_layerwise_training():
+    """fit_greedy (SURVEY.md §10 Q5 alternative schedule): stages train
+    prefixes warm-started from the previous stage, later layers keep
+    their LADMM init until their stage, and the result learns."""
+    from dladmm_tpu.train.loop import fit, fit_greedy
+
+    cfg = Config(
+        name="greedy_test",
+        problem=ProblemConfig(m=16, n=32, K=4),
+        train=TrainConfig(
+            batch=16, steps=80, lr=3e-3, eval_every=40, eval_batch=64
+        ),
+    )
+    params, history = fit_greedy(cfg)
+    stages = [h for h in history if "stage" in h]
+    assert [h["stage"] for h in stages] == [1, 2, 3, 4]
+    assert all(np.isfinite(h["loss"]) for h in stages)
+    final = history[-1]
+    assert np.isfinite(final["nmse_db"])
+    # Learns: beats the untrained (classical-LADMM) curve at layer K.
+    assert final["nmse_db"] < float(
+        final["curves"]["ladmm_curve_db"][-1]
+    )
+    assert params.W1.shape[0] == 4  # full-K params returned
