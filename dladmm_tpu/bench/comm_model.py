@@ -45,12 +45,21 @@ def flops_per_chip_per_step(m, n, K, S, T, layout):
 
 
 def analyze(name, m, n, K, S, data_axis, model_axis, layout, hosts=1,
-            dtype_bytes=4):
+            compute_dtype_bytes=None):
+    """compute_dtype_bytes=2 models a bf16 mixed-precision step: the
+    ACTIVATION collectives and the gradient allreduce move bf16, and the
+    per-chip footprint gains the persistent compute copy — while the
+    fp32 masters/moments stay 4-byte (matching parallel/memory.py's
+    startup audit; the two must agree or mesh sizing from this artifact
+    picks configs fit_sharded refuses)."""
     from dladmm_tpu.parallel.memory import per_chip_bytes, step_traffic_bytes
 
     T, D = model_axis, data_axis
-    bd = per_chip_bytes(m, n, K, S, D, T, layout, dtype_bytes)
-    tr = step_traffic_bytes(m, n, K, S, D, T, layout, dtype_bytes, hosts)
+    cb = compute_dtype_bytes or 4
+    bd = per_chip_bytes(
+        m, n, K, S, D, T, layout, 4, compute_dtype_bytes
+    )
+    tr = step_traffic_bytes(m, n, K, S, D, T, layout, cb, hosts)
     fl = flops_per_chip_per_step(m, n, K, max(1, S // D), T, layout)
     t_compute = fl / (PEAK_BF16_TFLOPS * 1e12)
     t_ici = tr["tp_ici_bytes_per_step"] / (ICI_GBPS * 1e9)
@@ -108,15 +117,13 @@ def main(argv=None) -> int:
             continue
         p, t = cfg.problem, cfg.train
         hosts = 2 if s.multihost else 1
-        # Activations/grads move in the compute dtype (the DP gradient
-        # allreduce psums bf16 grads in the mixed-precision step).
-        dtype_bytes = 2 if t.compute_dtype == "bfloat16" else 4
+        cb = 2 if t.compute_dtype == "bfloat16" else None
         for layout in ("sharded_w2", "replicated_w2"):
             rows.append(
                 analyze(
                     name, p.m, p.n, p.K, t.batch,
                     s.data_axis, s.model_axis, layout, hosts,
-                    dtype_bytes=dtype_bytes,
+                    compute_dtype_bytes=cb,
                 )
             )
     out = json.dumps(rows, indent=2)

@@ -298,6 +298,44 @@ def make_sharded_eval(mesh, layout: str = "sharded_w2"):
     return evaluate
 
 
+def _mixed_precision_inputs(state, batch, compute_dtype):
+    """(loss params, observations) for the step: the persistent sharded
+    compute-dtype copy + cast batch under mixed precision, the fp32
+    masters otherwise."""
+    if compute_dtype is not None:
+        return state.compute_params, batch.b.astype(compute_dtype)
+    return state.params, batch.b
+
+
+def _apply_update(state, loss, grads, optimizer, compute_dtype, freeze):
+    """Shared optimizer tail of both sharded steps: recast (possibly
+    bf16) grads onto the fp32 masters, zero frozen fields, optax update
+    (GSPMD partitions it along the existing param shardings), refresh
+    the compute-dtype copy in the same fused pass."""
+    grads = jax.tree.map(lambda g, p: g.astype(p.dtype), grads, state.params)
+    if freeze:
+        grads = type(grads)(
+            *(
+                jnp.zeros_like(g) if name in freeze else g
+                for name, g in zip(grads._fields, grads)
+            )
+        )
+    updates, opt_state = optimizer.update(
+        grads, state.opt_state, state.params
+    )
+    params = optax.apply_updates(state.params, updates)
+    new = state._replace(
+        params=params, opt_state=opt_state, step=state.step + 1
+    )
+    if compute_dtype is not None:
+        new = new._replace(
+            compute_params=jax.tree.map(
+                lambda v: v.astype(compute_dtype), params
+            )
+        )
+    return new, loss
+
+
 def make_dp_train_step(
     optimizer: optax.GradientTransformation,
     mesh,
@@ -368,39 +406,13 @@ def make_dp_train_step(
     )
 
     def step(state, A, batch):
-        if compute_dtype is not None:
-            loss_params = state.compute_params
-            b = batch.b.astype(compute_dtype)
-        else:
-            loss_params = state.params
-            b = batch.b
+        loss_params, b = _mixed_precision_inputs(state, batch, compute_dtype)
         loss, grads = grad_fn(
             loss_params, A, b, batch.x_star, batch.e_star
         )
-        grads = jax.tree.map(
-            lambda g, p: g.astype(p.dtype), grads, state.params
+        return _apply_update(
+            state, loss, grads, optimizer, compute_dtype, freeze
         )
-        if freeze:
-            grads = type(grads)(
-                *(
-                    jnp.zeros_like(g) if name in freeze else g
-                    for name, g in zip(grads._fields, grads)
-                )
-            )
-        updates, opt_state = optimizer.update(
-            grads, state.opt_state, state.params
-        )
-        params = optax.apply_updates(state.params, updates)
-        new = state._replace(
-            params=params, opt_state=opt_state, step=state.step + 1
-        )
-        if compute_dtype is not None:
-            new = new._replace(
-                compute_params=jax.tree.map(
-                    lambda v: v.astype(compute_dtype), params
-                )
-            )
-        return new, loss
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
@@ -473,39 +485,12 @@ def make_sharded_train_step(
     )
 
     def step(state, A, batch):
-        if compute_dtype is not None:
-            loss_params = state.compute_params
-            b = batch.b.astype(compute_dtype)
-        else:
-            loss_params = state.params
-            b = batch.b
+        loss_params, b = _mixed_precision_inputs(state, batch, compute_dtype)
         loss, grads = grad_fn(
             loss_params, A, b, batch.x_star, batch.e_star
         )
-        # bf16 grads feed the fp32 masters through an explicit cast.
-        grads = jax.tree.map(
-            lambda g, p: g.astype(p.dtype), grads, state.params
+        return _apply_update(
+            state, loss, grads, optimizer, compute_dtype, freeze
         )
-        if freeze:
-            grads = type(grads)(
-                *(
-                    jnp.zeros_like(g) if name in freeze else g
-                    for name, g in zip(grads._fields, grads)
-                )
-            )
-        updates, opt_state = optimizer.update(
-            grads, state.opt_state, state.params
-        )
-        params = optax.apply_updates(state.params, updates)
-        new = state._replace(
-            params=params, opt_state=opt_state, step=state.step + 1
-        )
-        if compute_dtype is not None:
-            new = new._replace(
-                compute_params=jax.tree.map(
-                    lambda v: v.astype(compute_dtype), params
-                )
-            )
-        return new, loss
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())

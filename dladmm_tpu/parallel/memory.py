@@ -219,7 +219,12 @@ def step_traffic_bytes(
         "tp_ici_bytes_per_step": ici_total,
         "tp_detail": tp,
         "dp_grad_allreduce_bytes": dp_allreduce,
-        "dp_crosses_dcn": hosts > 1,
+        # The mesh keeps 'data' as the OUTER axis (parallel/mesh.py), so
+        # only the DP gradient allreduce can span hosts — and only when
+        # there IS a data axis. TP collectives stay intra-host/ICI by
+        # construction (a model axis wider than one host is out of this
+        # model's scope and of the supported mesh layouts).
+        "dp_crosses_dcn": hosts > 1 and D > 1,
         "layout": layout,
     }
     if hosts > 1 and D > 1:

@@ -78,9 +78,49 @@ def main(argv=None) -> int:
     logger = JsonlLogger(args.log_jsonl)
     from dladmm_tpu.models.api import select_forward
 
+    def report(last, mesh=None):
+        """Shared tail: optional curve plot, per-layer NMSE table vs the
+        classical-LADMM baseline, one summary JSON line."""
+        curves = last["curves"]
+        if args.plot:
+            from dladmm_tpu.utils.plots import save_nmse_curve_plot
+
+            title = f"{cfg.name}: NMSE vs layer (K={cfg.problem.K}"
+            title += f", mesh {mesh})" if mesh else ")"
+            save_nmse_curve_plot(
+                args.plot,
+                [float(v) for v in curves["nmse_curve_db"]],
+                [float(v) for v in curves["ladmm_curve_db"]],
+                title=title,
+            )
+            print(f"plot saved: {args.plot}")
+        hdr = f"\nconfig={cfg.name}  steps={cfg.train.steps}"
+        print(hdr + (f"  mesh={mesh}" if mesh else ""))
+        print(
+            f"{'layer':>5} {'D-LADMM NMSE(dB)':>18} {'LADMM NMSE(dB)':>16}"
+        )
+        for k, (a, b) in enumerate(
+            zip(curves["nmse_curve_db"], curves["ladmm_curve_db"]), 1
+        ):
+            print(f"{k:>5} {float(a):>18.2f} {float(b):>16.2f}")
+        payload = {
+            "final_nmse_db": last["nmse_db"],
+            "final_residual": last["residual"],
+            "ladmm_nmse_db_at_K": float(curves["ladmm_curve_db"][-1]),
+        }
+        if mesh:
+            payload["mesh"] = mesh
+        print(json.dumps(payload))
+
     p = cfg.problem
     s = cfg.sharding
     if s.data_axis * s.model_axis > 1:
+        if args.greedy:
+            ap.error(
+                "--greedy is single-device only (layer-wise stages have "
+                "no sharded implementation); unset it for config "
+                f"{cfg.name!r}"
+            )
         # Sharded presets (tp_small, tp_large, multihost): DP x TP mesh
         # training with explicit collectives. The full flag surface
         # applies — fit_sharded composes bf16/layer-loss/freeze/ckpt
@@ -96,39 +136,21 @@ def main(argv=None) -> int:
             resume=args.resume,
         )
         last = history[-1]
-        curves = last["curves"]
-        if args.plot:
-            from dladmm_tpu.utils.plots import save_nmse_curve_plot
+        report(last, mesh=last["mesh"])
+        return 0
 
-            save_nmse_curve_plot(
-                args.plot,
-                curves["nmse_curve_db"],
-                curves["ladmm_curve_db"],
-                title=f"{cfg.name}: NMSE vs layer (K={cfg.problem.K}, "
-                f"mesh {last['mesh']})",
-            )
-            print(f"plot saved: {args.plot}")
-        print(
-            f"\nconfig={cfg.name}  steps={cfg.train.steps}  "
-            f"mesh={last['mesh']}"
-        )
-        print(f"{'layer':>5} {'D-LADMM NMSE(dB)':>18} {'LADMM NMSE(dB)':>16}")
-        for k, (a, b) in enumerate(
-            zip(curves["nmse_curve_db"], curves["ladmm_curve_db"]), 1
-        ):
-            print(f"{k:>5} {float(a):>18.2f} {float(b):>16.2f}")
-        print(
-            json.dumps(
-                {
-                    "final_nmse_db": last["nmse_db"],
-                    "final_residual": last["residual"],
-                    "ladmm_nmse_db_at_K": float(
-                        curves["ladmm_curve_db"][-1]
-                    ),
-                    "mesh": last["mesh"],
-                }
-            )
-        )
+    if args.greedy:
+        # fit_greedy selects kernels/precision per phase itself (the
+        # stage losses use the final-state contract, the fine-tune the
+        # trajectory contract) — run.py's generic selection would be
+        # wrong for the stages, so it is skipped entirely here.
+        if args.ckpt_dir or args.resume:
+            ap.error("--greedy does not support --ckpt-dir/--resume")
+        from dladmm_tpu.train.loop import fit_greedy
+
+        print("kernel path: greedy (per-stage auto-selection)", flush=True)
+        params, history = fit_greedy(cfg, log_fn=logger)
+        report(history[-1])
         return 0
 
     if cfg.train.vjp == "manual":
@@ -151,49 +173,15 @@ def main(argv=None) -> int:
         )
     print(f"kernel path: {desc}", flush=True)
 
-    if args.greedy:
-        if args.ckpt_dir or args.resume:
-            ap.error("--greedy does not support --ckpt-dir/--resume")
-        from dladmm_tpu.train.loop import fit_greedy
-
-        params, history = fit_greedy(cfg, log_fn=logger)
-    else:
-        params, history = fit(
-            cfg,
-            log_fn=logger,
-            step_fn=step_fn,
-            forward_fn=forward_fn,
-            ckpt_dir=args.ckpt_dir,
-            resume=args.resume,
-        )
-
-    last = history[-1]
-    curves = last["curves"]
-    if args.plot:
-        from dladmm_tpu.utils.plots import save_nmse_curve_plot
-
-        save_nmse_curve_plot(
-            args.plot,
-            [float(v) for v in curves["nmse_curve_db"]],
-            [float(v) for v in curves["ladmm_curve_db"]],
-            title=f"{cfg.name}: NMSE vs layer (K={cfg.problem.K})",
-        )
-        print(f"plot saved: {args.plot}")
-    print(f"\nconfig={cfg.name}  steps={cfg.train.steps}")
-    print(f"{'layer':>5} {'D-LADMM NMSE(dB)':>18} {'LADMM NMSE(dB)':>16}")
-    for k, (a, b) in enumerate(
-        zip(curves["nmse_curve_db"], curves["ladmm_curve_db"]), 1
-    ):
-        print(f"{k:>5} {float(a):>18.2f} {float(b):>16.2f}")
-    print(
-        json.dumps(
-            {
-                "final_nmse_db": last["nmse_db"],
-                "final_residual": last["residual"],
-                "ladmm_nmse_db_at_K": float(curves["ladmm_curve_db"][-1]),
-            }
-        )
+    params, history = fit(
+        cfg,
+        log_fn=logger,
+        step_fn=step_fn,
+        forward_fn=forward_fn,
+        ckpt_dir=args.ckpt_dir,
+        resume=args.resume,
     )
+    report(history[-1])
     return 0
 
 

@@ -552,6 +552,22 @@ def fit_greedy(
     # horizon is meaningless per-stage) and keep clipping.
     optimizer = _build_optimizer(dataclasses.replace(t, lr_schedule=None))
 
+    # Honor the config's kernel/vjp/precision the same way run.py + fit
+    # do (greedy previously trained fp32 XLA regardless — advisor r2):
+    # stages use the FINAL-STATE selection (each stage's loss is at its
+    # last layer); the fine-tune pass re-selects with the trajectory
+    # contract iff t.layer_loss is set.
+    from dladmm_tpu.models.api import select_forward
+
+    vjp = getattr(t, "vjp", "auto")
+    compute_dtype = jnp.bfloat16 if t.compute_dtype == "bfloat16" else None
+    if vjp in ("manual", "xla"):
+        stage_fwd = stage_step = None
+    else:
+        stage_fwd, stage_step, _ = select_forward(
+            p.m, p.n, p.m, t.batch, kernel=t.kernel
+        )
+
     history = []
     for k in range(1, p.K + 1):
         prefix = jax.tree.map(lambda v: v[:k], params)
@@ -561,14 +577,17 @@ def fit_greedy(
             t.batch,
             p.sparsity_x,
             p.sparsity_e,
+            step_fn=stage_step,
+            forward_fn=stage_fwd,
+            compute_dtype=compute_dtype,
             freeze=tuple(t.freeze),
-            vjp=getattr(t, "vjp", "auto"),
+            vjp=vjp,
             # donate=False: the k=K prefix ALIASES the full param
             # buffers (v[:K] is the whole array) — donating the state
             # would delete the stack we write the stage back into.
             donate=False,
         )
-        state = make_train_state(prefix, optimizer)
+        state = make_train_state(prefix, optimizer, compute_dtype)
         for i in range(per_stage):
             sub = jax.random.fold_in(k_train, k * 1_000_000 + i)
             state, loss = step_fn(state, sub)
@@ -582,19 +601,31 @@ def fit_greedy(
         if log_fn:
             log_fn(rec)
 
-    eval_data = make_batch(
-        k_eval, A, t.eval_batch, p.sparsity_x, p.sparsity_e, dtype
-    )
     if ft_steps:
+        ft_fwd = ft_step = None
+        if vjp not in ("manual", "xla"):
+            ft_fwd, ft_step, _ = select_forward(
+                p.m, p.n, p.m, t.batch,
+                kernel=t.kernel,
+                need_trajectory=t.layer_loss is not None,
+            )
         ft_cfg = dataclasses.replace(
             config,
             train=dataclasses.replace(t, steps=ft_steps),
         )
         params, ft_hist = fit(
-            ft_cfg, A=A, log_fn=log_fn, init_params=params
+            ft_cfg,
+            A=A,
+            log_fn=log_fn,
+            step_fn=ft_step,
+            forward_fn=ft_fwd,
+            init_params=params,
         )
         history.extend(ft_hist)
     else:
+        eval_data = make_batch(
+            k_eval, A, t.eval_batch, p.sparsity_x, p.sparsity_e, dtype
+        )
         ev = evaluate(params, A, eval_data)
         rec = {
             "step": per_stage * p.K,
