@@ -198,3 +198,23 @@ def test_greedy_layerwise_training():
         final["curves"]["ladmm_curve_db"][-1]
     )
     assert params.W1.shape[0] == 4  # full-K params returned
+
+
+def test_greedy_bf16_runs():
+    """fit_greedy honors compute_dtype (advisor r2: stages previously
+    trained fp32 regardless of config)."""
+    from dladmm_tpu.train.loop import fit_greedy
+
+    cfg = Config(
+        name="greedy_bf16",
+        problem=ProblemConfig(m=16, n=32, K=3),
+        train=TrainConfig(
+            batch=16, steps=30, lr=3e-3, eval_every=30, eval_batch=32,
+            compute_dtype="bfloat16",
+        ),
+    )
+    params, history = fit_greedy(cfg)
+    assert np.isfinite(history[-1]["nmse_db"])
+    import jax.numpy as jnp
+
+    assert params.W1.dtype == jnp.float32  # masters stay fp32
