@@ -27,9 +27,10 @@ def main(argv=None) -> int:
     )
     # "none" selects the final-layer-only loss (deep supervision is the
     # synthetic presets' default since round 2 — measured better in
-    # BASELINE.md); default None keeps the preset's setting.
+    # BASELINE.md); "linear" is the final-heavy gamma_k ∝ k ramp;
+    # default None keeps the preset's setting.
     ap.add_argument(
-        "--layer-loss", choices=["uniform", "none"], default=None
+        "--layer-loss", choices=["uniform", "linear", "none"], default=None
     )
     ap.add_argument(
         "--vjp",

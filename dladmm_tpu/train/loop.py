@@ -359,6 +359,23 @@ def evaluate(
     return jax.tree.map(lambda v: jax.device_get(v), out)
 
 
+def _layer_weights(layer_loss, K: int, dtype):
+    """Deep-supervision weight schedules (SURVEY.md §2 pt 6 gamma_k):
+    "uniform" = 1/K each; "linear" = gamma_k ∝ k (final-heavy ramp —
+    later layers' errors weighted more, the final layer K/Σk). None =
+    final-layer-only loss. Measured comparison in BASELINE.md."""
+    if layer_loss is None:
+        return None
+    if layer_loss == "uniform":
+        return jnp.full((K,), 1.0 / K, dtype)
+    if layer_loss == "linear":
+        w = jnp.arange(1, K + 1, dtype=dtype)
+        return w / jnp.sum(w)
+    raise ValueError(
+        f"layer_loss must be None|'uniform'|'linear', got {layer_loss!r}"
+    )
+
+
 def _build_optimizer(t) -> optax.GradientTransformation:
     """Adam + the TrainConfig's lr schedule and gradient clipping —
     shared by fit and fit_sharded so sharded runs get the same
@@ -415,9 +432,7 @@ def fit(
     )
     optimizer = _build_optimizer(t)
 
-    layer_weights = None
-    if t.layer_loss == "uniform":
-        layer_weights = jnp.full((p.K,), 1.0 / p.K, dtype)
+    layer_weights = _layer_weights(t.layer_loss, p.K, dtype)
 
     compute_dtype = (
         jnp.bfloat16 if t.compute_dtype == "bfloat16" else None
@@ -759,9 +774,7 @@ def fit_sharded(
         sh["params"],
     )
     optimizer = _build_optimizer(t)  # honors lr_schedule + clip_norm
-    layer_weights = None
-    if t.layer_loss == "uniform":
-        layer_weights = jnp.full((p.K,), 1.0 / p.K, jnp.float32)
+    layer_weights = _layer_weights(t.layer_loss, p.K, jnp.float32)
     state = make_train_state(params, optimizer, compute_dtype)
     A_c = A if compute_dtype is None else A.astype(compute_dtype)
 

@@ -30,8 +30,9 @@ class TrainConfig:
     eval_every: int = 200
     eval_batch: int = 256
     seed: int = 0
-    # Per-layer loss weighting: None = final-layer MSE only; "uniform" =
-    # deep supervision with equal weights (SURVEY.md §2 point 6).
+    # Per-layer loss weighting (SURVEY.md §2 point 6): None = final-layer
+    # MSE only; "uniform" = deep supervision, equal gamma_k; "linear" =
+    # final-heavy ramp gamma_k ∝ k. Measured in BASELINE.md.
     layer_loss: Optional[str] = None
     # None = constant lr; "cosine" = linear warmup (5%) + cosine decay to 0.
     lr_schedule: Optional[str] = None
