@@ -84,8 +84,13 @@ def main() -> None:
 
         return step
 
-    # Framework path = the SHIPPED step (train/loop.py): mixed-precision
-    # manual-VJP loss on the persistent bf16 copy, fp32-master Adam.
+    # Framework path = the fastest full-quality training step
+    # (train/loop.py): mixed-precision manual-VJP FINAL-LAYER loss on
+    # the persistent bf16 copy, fp32-master Adam. (The synthetic presets
+    # default to deep supervision since r2 — same step +10.6% for the
+    # trajectory capture, quality numbers in BASELINE.md; the headline
+    # throughput metric stays the final-layer step for cross-round
+    # comparability.)
     shipped = make_train_step_from_batch(
         optimizer, A, vjp="manual", compute_dtype=bf, donate=False
     )
