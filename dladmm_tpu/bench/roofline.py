@@ -17,7 +17,6 @@ import json
 import sys
 
 import jax
-import jax.numpy as jnp
 
 # TPU v5e (v5 lite) per-chip peaks; override via flags for other chips.
 PEAK_BF16_TFLOPS = 197.0

@@ -15,13 +15,10 @@ from __future__ import annotations
 
 from typing import Callable, Optional, Tuple
 
-import jax
-
 from dladmm_tpu.models.unroll import dladmm_forward
-from dladmm_tpu.ops.pallas_layer import auto_fused_step, weights_fit_vmem
+from dladmm_tpu.ops.pallas_layer import auto_fused_step
 from dladmm_tpu.ops.pallas_unroll import (
     make_unrolled_forward,
-    unroll_fits_vmem,
     unroll_tile_batch,
 )
 

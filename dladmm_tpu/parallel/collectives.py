@@ -44,12 +44,10 @@ single-device autodiff by tests/test_distributed.py for both layouts.
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import optax
-from jax import Array
 from jax.sharding import PartitionSpec as P
 
 from dladmm_tpu.models.unroll import DLADMMParams

@@ -29,7 +29,6 @@ from dladmm_tpu.metrics.core import (
     per_layer_nmse_db,
 )
 from dladmm_tpu.models.unroll import DLADMMParams, dladmm_forward
-from dladmm_tpu.ops.reference import LayerParams
 
 
 class TrainState(NamedTuple):

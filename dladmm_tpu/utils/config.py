@@ -8,7 +8,7 @@ has a named preset; CLI overrides are applied in run.py.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 
 @dataclasses.dataclass(frozen=True)
