@@ -120,3 +120,29 @@ def test_comm_model_cli(tmp_path, capsys):
     layouts = {r["layout"]: r for r in rows}
     assert layouts["sharded_w2"]["fits_16gb_chip"]
     assert not layouts["replicated_w2"]["fits_16gb_chip"]
+
+
+def test_time_chained_noise_fallback(monkeypatch):
+    """ADVICE r1: a noisy (non-positive-slope) calibration must fall
+    back to the uncalibrated long-chain estimate with a warning instead
+    of aborting a whole bench sweep; strict=True keeps the raise."""
+    import warnings
+
+    import pytest
+
+    from dladmm_tpu.bench import timing
+
+    # Constant wall time regardless of chain length => slope 0 forever.
+    monkeypatch.setattr(
+        timing, "_run_chained", lambda step, init, iters, repeats: 0.5
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        t = timing.time_chained(lambda c: c, 0.0, iters=8)
+    assert any("UNCALIBRATED" in str(x.message) for x in w)
+    # Chains ran at 8,16,32,64 iters; the estimate divides the last
+    # measured time by its chain length (iters//2 after the final
+    # doubling): 0.5 s / 64.
+    assert t == pytest.approx(0.5 / 64)
+    with pytest.raises(RuntimeError, match="no positive slope"):
+        timing.time_chained(lambda c: c, 0.0, iters=8, strict=True)
