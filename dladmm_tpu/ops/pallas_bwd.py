@@ -330,11 +330,16 @@ def bwd_chunk_batch(
       * per-layer weights + A (double-buffered on k change)
       * per-(k, tile) trajectory/cotangent/output blocks, double-buffered
     """
+    if d != m:
+        # The chunked kernel's layer-0 zero states reuse the (bs, m)
+        # b-shaped zero for z_in/lam_in/Ax_in (identity-B layout); a
+        # d != m caller would hit a shape break (ADVICE r2).
+        return None
     for bs in (512, 256, 128, 64):
         if S % bs or S <= bs:
             continue
         total = (
-            S * (n + 4 * m) * 4  # gx,gz,glam,gax + gb (fp32 scratch)
+            S * (n + d + 3 * m) * 4  # gx,gz,glam,gax + gb (fp32 scratch)
             + (n * m + d * m + n + d) * 4  # gw/gth accumulators (fp32)
             + 2 * (n * m + d * m) * itemsize  # W1+W2 double-buffered
             + m * n * itemsize  # A
@@ -532,6 +537,10 @@ def unroll_bwd_pallas_chunked(
     gx0, gz0, glam0 = cts
     K, n, m = params.W1.shape
     d = params.W2.shape[1]
+    assert d == m, (
+        "chunked backward megakernel is identity-B only (its layer-0 "
+        f"zero states are b-shaped): d={d} != m={m}"
+    )
     S = b.shape[0]
     assert S % bs == 0, (S, bs)
     nS = S // bs

@@ -215,16 +215,18 @@ def make_sharded_eval(mesh, layout: str = "sharded_w2"):
     tests/test_distributed.py::test_sharded_eval_curve_matches_single).
     """
 
-    T = mesh.shape[MODEL_AXIS]
-
     def zsum(val):
         """psum over 'data' of a z-side (numerically model-replicated)
         value. In the sharded_w2 layout the gathered z is vma-VARYING
         over 'model' (all_gather output), so an invariant result needs
-        the psum to cover 'model' too; dividing by T recovers the value
-        (exact when T is a power of two — the replicas are bit-identical)."""
+        the psum to cover 'model' too; keeping only model-rank 0's value
+        before the psum recovers it EXACTLY for any T (the earlier
+        psum/T trick was bit-exact only for power-of-two T — ADVICE r2)."""
         if layout == "sharded_w2":
-            return jax.lax.psum(val, (DATA_AXIS, MODEL_AXIS)) / T
+            keep = jnp.where(
+                jax.lax.axis_index(MODEL_AXIS) == 0, val, jnp.zeros_like(val)
+            )
+            return jax.lax.psum(keep, (DATA_AXIS, MODEL_AXIS))
         return jax.lax.psum(val, DATA_AXIS)
 
     def local_eval(params, A_t, b, x_star_t, e_star):

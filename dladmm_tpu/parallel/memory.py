@@ -28,6 +28,28 @@ DEFAULT_HBM_BYTES = 16e9
 DEFAULT_HEADROOM = 0.10
 
 
+def detect_hbm_bytes() -> float:
+    """Per-chip memory limit from the runtime when it reports one
+    (`device.memory_stats()['bytes_limit']` — real TPUs do), else
+    DEFAULT_HBM_BYTES. So v4/v5p parts aren't audited against the v5e
+    16 GB figure (ADVICE r2); CLI callers can still override via
+    --hbm-gb (run.py) -> fit_sharded(hbm_bytes=...). Virtual CPU devices
+    report host RAM or nothing — only trust real accelerators."""
+    import jax
+
+    try:
+        dev = jax.local_devices()[0]
+        if dev.platform == "cpu":
+            return DEFAULT_HBM_BYTES
+        stats = dev.memory_stats() or {}
+        limit = stats.get("bytes_limit")
+        if limit and limit > 1e9:
+            return float(limit)
+    except Exception:
+        pass
+    return DEFAULT_HBM_BYTES
+
+
 @dataclasses.dataclass(frozen=True)
 class MemoryBreakdown:
     params: float  # fp32 masters, per chip

@@ -44,6 +44,13 @@ def main(argv=None) -> int:
     ap.add_argument("--plot", default=None, help="save NMSE-vs-layer PNG here")
     ap.add_argument("--ckpt-dir", default=None, help="checkpoint directory")
     ap.add_argument(
+        "--hbm-gb",
+        type=float,
+        default=None,
+        help="per-chip HBM (GB) for the sharded-startup memory audit; "
+        "default auto-detects from the device (v5e 16 / v4 32 / v5p 95)",
+    )
+    ap.add_argument(
         "--resume", action="store_true", help="resume from latest checkpoint"
     )
     ap.add_argument(
@@ -135,6 +142,7 @@ def main(argv=None) -> int:
             log_fn=logger,
             ckpt_dir=args.ckpt_dir,
             resume=args.resume,
+            hbm_bytes=args.hbm_gb and args.hbm_gb * 1e9,
         )
         last = history[-1]
         report(last, mesh=last["mesh"])

@@ -139,8 +139,18 @@ def loss_fn(
         _, (tx, tz, _) = dladmm_forward(
             params, A, b, B=B, capture_trajectory=True, step_fn=step_fn
         )
-    per_layer = jnp.mean((tx - x_star) ** 2, axis=(1, 2)) + jnp.mean(
-        (tz - z_star) ** 2, axis=(1, 2)
+    return weighted_trajectory_mse(tx, tz, x_star, z_star, layer_weights)
+
+
+def weighted_trajectory_mse(tx, tz, x_tgt, z_tgt, layer_weights):
+    """THE deep-supervision objective on stacked (K, S, ·) trajectories:
+    per-layer MSE of both streams, gamma_k-weighted sum. The single
+    implementation of the trajectory-loss semantics — loss_fn above and
+    run_denoise.py's reconstruction loss both route here (VERDICT r2
+    #7), so the contract the parity tests pin cannot drift. Targets of
+    shape (S, ·) broadcast over the K axis."""
+    per_layer = jnp.mean((tx - x_tgt) ** 2, axis=(1, 2)) + jnp.mean(
+        (tz - z_tgt) ** 2, axis=(1, 2)
     )
     return jnp.sum(layer_weights * per_layer)
 
@@ -703,7 +713,7 @@ def fit_sharded(
         make_sharded_eval,
         make_sharded_train_step,
     )
-    from dladmm_tpu.parallel.memory import DEFAULT_HBM_BYTES, audit_or_raise
+    from dladmm_tpu.parallel.memory import audit_or_raise, detect_hbm_bytes
     from dladmm_tpu.parallel.multihost import (
         host_local_batch,
         initialize_distributed,
@@ -750,7 +760,7 @@ def fit_sharded(
         layout,
         dtype_bytes=jnp.dtype(t.dtype).itemsize,
         compute_dtype_bytes=2 if compute_dtype is not None else None,
-        hbm_bytes=hbm_bytes or DEFAULT_HBM_BYTES,
+        hbm_bytes=hbm_bytes or detect_hbm_bytes(),
         print_fn=print if is_primary else None,
     )
     if s.multihost and jax.process_count() > 1:

@@ -15,6 +15,13 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 # Keep CI deterministic and fast.
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+# Persistent XLA compilation cache: most of the suite's wall time is CPU
+# XLA compiles, and re-runs (or sharded CI runs in separate processes)
+# hit the same programs — the cache cuts repeat wall time substantially.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", "/tmp/dladmm_jax_test_cache"
+)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 
 # The sandbox's sitecustomize pins JAX_PLATFORMS=axon (real TPU) before
 # conftest runs, so the env var alone is not enough — force via config.

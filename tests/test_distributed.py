@@ -320,6 +320,7 @@ def test_memory_audit_tp_large_bf16_preset():
         )
 
 
+@pytest.mark.slow
 def test_sharded_training_improves_nmse():
     """Short sharded training run actually learns (DP=4, TP=2)."""
     mesh = pmesh.make_mesh(data=4, model=2)
@@ -342,6 +343,7 @@ def test_sharded_training_improves_nmse():
     assert last < first
 
 
+@pytest.mark.slow
 def test_fit_sharded_end_to_end():
     """fit_sharded composes bf16 + deep supervision + sharded_w2 layout
     end-to-end on the virtual mesh, improves NMSE, and emits the

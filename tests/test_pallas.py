@@ -29,7 +29,13 @@ def _setup(m, n, S, K=4, seed=0):
 
 
 # Shapes chosen to hit unaligned m/n/S and batch tiles that don't divide.
-SHAPES = [(16, 32, 8), (250, 500, 64), (33, 77, 13), (128, 256, 32)]
+# The big aligned shape is slow-tier; the unaligned edges stay default.
+SHAPES = [
+    (16, 32, 8),
+    pytest.param(250, 500, 64, marks=pytest.mark.slow),
+    (33, 77, 13),
+    (128, 256, 32),
+]
 
 
 @pytest.mark.parametrize("m,n,S", SHAPES)

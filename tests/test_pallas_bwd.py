@@ -35,7 +35,13 @@ def _loss(fwd, params, A, b):
 
 
 @pytest.mark.parametrize("per_coordinate", [True, False])
-@pytest.mark.parametrize("shape", [(16, 32, 5, 8), (40, 80, 8, 16)])
+@pytest.mark.parametrize(
+    "shape",
+    [
+        (16, 32, 5, 8),
+        pytest.param((40, 80, 8, 16), marks=pytest.mark.slow),
+    ],
+)
 def test_pallas_bwd_matches_autodiff(shape, per_coordinate):
     m, n, K, S = shape
     params, A, b = _setup(m, n, K, S, per_coordinate)

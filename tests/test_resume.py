@@ -2,6 +2,7 @@
 must reproduce the uninterrupted run exactly (deterministic per-step keys)."""
 
 import jax
+import pytest
 import numpy as np
 
 from dladmm_tpu.utils.config import Config, ProblemConfig, TrainConfig
@@ -52,6 +53,7 @@ def _sharded_cfg(steps, compute_dtype="float32"):
     )
 
 
+@pytest.mark.slow
 def test_sharded_resume_reproduces_cold_run(tmp_path):
     """Sharded checkpoint/resume on the 4x2 virtual mesh (VERDICT r1 #3):
     orbax saves the TP-sharded params+opt_state, restore goes directly
@@ -73,6 +75,7 @@ def test_sharded_resume_reproduces_cold_run(tmp_path):
     assert hist_res[-1]["nmse_db"] == hist_full[-1]["nmse_db"]
 
 
+@pytest.mark.slow
 def test_sharded_resume_bf16(tmp_path):
     """Mixed-precision sharded resume: the persistent bf16 copy is
     derivable state — stripped at save, rebuilt at restore — and the

@@ -1,6 +1,7 @@
 """High-level DLADMMSolver API tests."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -8,6 +9,7 @@ from dladmm_tpu.data.synthetic import make_batch, make_dictionary
 from dladmm_tpu.models.solver import DLADMMSolver
 
 
+@pytest.mark.slow
 def test_solver_end_to_end():
     key = jax.random.PRNGKey(0)
     kA, kd, kt = jax.random.split(key, 3)

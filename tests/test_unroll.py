@@ -2,6 +2,7 @@
 (the ~33% FLOP cut must be a pure refactor), trajectory capture, grads."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -31,6 +32,7 @@ def _setup(identity_B=True, seed=0, m=12, n=24, K=6, S=5):
     return A, B, data, params
 
 
+@pytest.mark.slow
 def test_cached_step_matches_plain():
     for identity_B in (True, False):
         A, B, data, params = _setup(identity_B)

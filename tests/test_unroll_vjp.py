@@ -32,7 +32,13 @@ def _setup(m, n, K, S, seed=0, per_coordinate=True):
     return params, A, b
 
 
-@pytest.mark.parametrize("shape", [(16, 32, 5, 8), (40, 80, 10, 16)])
+@pytest.mark.parametrize(
+    "shape",
+    [
+        (16, 32, 5, 8),
+        pytest.param((40, 80, 10, 16), marks=pytest.mark.slow),
+    ],
+)
 @pytest.mark.parametrize("per_coordinate", [True, False])
 def test_manual_vjp_matches_autodiff(shape, per_coordinate):
     m, n, K, S = shape
@@ -67,6 +73,7 @@ def test_manual_vjp_matches_autodiff(shape, per_coordinate):
         )
 
 
+@pytest.mark.slow
 def test_manual_vjp_forward_equals_scan():
     params, A, b = _setup(24, 48, 7, 12)
     xa, za, la = dladmm_forward(params, A, b)
@@ -76,6 +83,7 @@ def test_manual_vjp_forward_equals_scan():
     np.testing.assert_allclose(np.asarray(la), np.asarray(lm), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_manual_vjp_trains_identically():
     """One Adam step with either VJP produces the same new params."""
     import optax
