@@ -25,9 +25,11 @@ The same backward core (``bwd_from_carries``) serves three callers:
     are folded in as the reverse scan passes each layer.
 
 Exactness vs ``jax.grad`` of the golden op is pinned by
-tests/test_unroll_vjp.py. B = I fast path only (both reference
-benchmarks; SURVEY.md §2 point 4) — general B falls back to XLA autodiff
-in train/loop.py.
+tests/test_unroll_vjp.py. The B = I fast path (both reference
+benchmarks; SURVEY.md §2 point 4) carries (x, z, lam, Ax);
+``dladmm_unroll_manual_general`` extends the same backward to a general
+z-dictionary B with a (x, z, lam, Ax, Bz) carry, two extra Bᵀ
+contractions per layer, and a gB accumulator (VERDICT r2 #9).
 """
 
 from __future__ import annotations
@@ -77,47 +79,69 @@ def bwd_from_carries(
     resid,
     final_cts: Tuple[Array, Array, Array],
     traj_cts: Optional[Tuple[Array, Array, Array]] = None,
+    B: Optional[Array] = None,
 ):
     """Reverse-scan backward from per-layer residuals.
 
-    resid: 6-tuple of (K, ...)-stacked arrays
-      (lam_in, Ax_in, z_in, x1, z1, Ax1) — layer k's input pieces and
-      outputs. Use ``shifted_residuals`` to build this from a plain
-      (x, z, lam, Ax) output trajectory.
+    resid: (K, ...)-stacked arrays — with B=None (identity) a 6-tuple
+      (lam_in, Ax_in, z_in, x1, z1, Ax1); with general B an 8-tuple
+      (lam_in, Ax_in, Bz_in, z_in, x1, z1, Ax1, Bz1) — layer k's input
+      pieces and outputs. Use ``shifted_residuals`` to build the 6-tuple
+      from a plain (x, z, lam, Ax) output trajectory.
     final_cts: cotangents (gx, gz, glam) of the final state.
     traj_cts: optional per-layer cotangents on each layer's
       (x_k, z_k, lam_k) stacks (deep supervision / trajectory loss).
+    B: (m, d) dictionary for the z stream, or None for the B = I fast
+      path (the branch is trace-time static; the B=None program is
+      bit-identical to before the generalization).
 
-    Returns (gparams, gA, gb) — the unused ones (A and b are data) are
-    dead-code-eliminated by XLA when the caller never consumes them.
+    Returns (gparams, gA, gb) for B=None, or (gparams, gA, gB, gb) for
+    general B — the unused ones (A, B, b are data) are dead-code-
+    eliminated by XLA when the caller never consumes them.
     """
     gx_out, gz_out, glam_out = final_cts
     S, m = b.shape
     n = params.W1.shape[1]
+    d = params.W2.shape[-2]
     dt = b.dtype
 
     def body(carry, xs):
-        gx, gz, glam, gAx, gA, gb = carry
-        if traj_cts is None:
-            (lam_in, Ax_in, z_in, x1, z1, Ax1), p = xs
+        if B is None:
+            gx, gz, glam, gAx, gA, gb = carry
         else:
-            (lam_in, Ax_in, z_in, x1, z1, Ax1), p, (ctx, ctz, ctlam) = xs
+            gx, gz, glam, gAx, gA, gB, gb = carry
+        if traj_cts is None:
+            r, p = xs
+        else:
+            r, p, (ctx, ctz, ctlam) = xs
             # This layer's outputs also feed the loss directly.
             gx = gx + ctx
             gz = gz + ctz
             glam = glam + ctlam
+        if B is None:
+            # Identity B: Bz coincides with z (no separate stacks).
+            (lam_in, Ax_in, z_in, x1, z1, Ax1) = r
+            Bz_in, Bz1 = z_in, z1
+        else:
+            (lam_in, Ax_in, Bz_in, z_in, x1, z1, Ax1, Bz1) = r
         beta_raw = p.beta
         beta = jnp.maximum(beta_raw, _BETA_MIN)
         ib = 1.0 / beta
-        base = z_in - b + lam_in * ib
+        base = Bz_in - b + lam_in * ib
         u = Ax_in + base
         v = Ax1 + base
-        r1 = Ax1 + z1 - b  # dual residual in lam1 = lam + beta*r1
+        r1 = Ax1 + Bz1 - b  # dual residual in lam1 = lam + beta*r1
 
-        # lam1 = lam_in + beta * (Ax1 + z1 - b)
+        # lam1 = lam_in + beta * (Ax1 + B z1 - b)
         glam1 = glam
         gbeta = jnp.sum(glam1 * r1)
-        gz1 = gz + beta * glam1
+        gBz1 = beta * glam1
+        if B is None:
+            gz1 = gz + gBz1
+        else:
+            # Bz1 = z1 @ Bᵀ
+            gz1 = gz + _mn(gBz1, B)
+            gB = gB + _outer(gBz1, z1)
         gAx1 = gAx + beta * glam1
         glam_in = glam1
 
@@ -155,14 +179,21 @@ def bwd_from_carries(
         gAx_in = gu
         gbase = gbase + gu
 
-        # base = z_in - b + lam_in / beta
-        gz_in = gz_in + gbase
+        # base = B z_in - b + lam_in / beta
+        if B is None:
+            gz_in = gz_in + gbase
+        else:
+            gz_in = gz_in + _mn(gbase, B)
+            gB = gB + _outer(gbase, z_in)
         gb_new = gb - gbase - beta * glam1
         glam_in = glam_in + gbase * ib
         gbeta = gbeta - jnp.sum(gbase * lam_in) * ib * ib
         gbeta_raw = _max_grad(beta_raw, _BETA_MIN, gbeta)
 
-        carry = (gx_in, gz_in, glam_in, gAx_in, gA, gb_new)
+        if B is None:
+            carry = (gx_in, gz_in, glam_in, gAx_in, gA, gb_new)
+        else:
+            carry = (gx_in, gz_in, glam_in, gAx_in, gA, gB, gb_new)
         return carry, LayerParams(gW1, gW2, gth1, gth2, gbeta_raw)
 
     init = (
@@ -171,13 +202,19 @@ def bwd_from_carries(
         glam_out,
         jnp.zeros((S, m), dt),  # final Ax carry is not an output
         jnp.zeros((m, n), dt),  # gA accumulator
-        jnp.zeros((S, m), dt),  # gb accumulator
     )
+    if B is not None:
+        init = init + (jnp.zeros((m, d), dt),)  # gB accumulator
+    init = init + (jnp.zeros((S, m), dt),)  # gb accumulator
     xs = (resid, LayerParams(*params))
     if traj_cts is not None:
         xs = xs + (traj_cts,)
-    (_, _, _, _, gA, gb), gp = jax.lax.scan(body, init, xs, reverse=True)
-    return type(params)(*gp), gA, gb
+    out_carry, gp = jax.lax.scan(body, init, xs, reverse=True)
+    if B is None:
+        (_, _, _, _, gA, gb) = out_carry
+        return type(params)(*gp), gA, gb
+    (_, _, _, _, gA, gB, gb) = out_carry
+    return type(params)(*gp), gA, gB, gb
 
 
 def shifted_residuals(tx: Array, tz: Array, tlam: Array, tax: Array):
@@ -244,8 +281,62 @@ def _bwd_rule(res, cts):
 
 dladmm_unroll_manual.defvjp(_fwd_rule, _bwd_rule)
 
+
+@jax.custom_vjp
+def dladmm_unroll_manual_general(params, A: Array, B: Array, b: Array):
+    """K-layer unroll with a GENERAL z-dictionary B (m, d), final state
+    only, manual-VJP trainable (VERDICT r2 #9: general-B training is no
+    longer stuck on XLA autodiff).
+
+    Semantically identical to ``dladmm_forward(params, A, b, B=B)``
+    (pinned by tests/test_unroll_vjp.py); the backward is the same
+    recompute-from-carries reverse scan with the two extra Bᵀ
+    contractions per layer and a gB accumulator. Returns (x_K, z_K,
+    lam_K). For B = I use ``dladmm_unroll_manual`` (no Bz stacks)."""
+    (x, z, lam, _, _), _ = _fwd_scan_general(params, A, B, b)
+    return x, z, lam
+
+
+def _fwd_scan_general(params, A, B, b):
+    from dladmm_tpu.ops.reference import dladmm_layer_step_cached
+
+    S = b.shape[0]
+    n = params.W1.shape[1]
+    d = params.W2.shape[-2]
+    dt = b.dtype
+    x = jnp.zeros((S, n), dt)
+    z = jnp.zeros((S, d), dt)
+    lam = jnp.zeros_like(b)
+    Ax = jnp.zeros_like(b)
+    Bz = jnp.zeros_like(b)
+
+    def body(carry, p: LayerParams):
+        x, z, lam, Ax, Bz = carry
+        x1, z1, lam1, Ax1, Bz1 = dladmm_layer_step_cached(
+            A, B, b, x, z, lam, Ax, Bz, p
+        )
+        # Residuals in bwd layout: this layer's input pieces + outputs.
+        ys = (lam, Ax, Bz, z, x1, z1, Ax1, Bz1)
+        return (x1, z1, lam1, Ax1, Bz1), ys
+
+    return jax.lax.scan(body, (x, z, lam, Ax, Bz), LayerParams(*params))
+
+
+def _fwd_rule_general(params, A, B, b):
+    (x, z, lam, _, _), traj = _fwd_scan_general(params, A, B, b)
+    return (x, z, lam), (params, A, B, b, traj)
+
+
+def _bwd_rule_general(res, cts):
+    params, A, B, b, traj = res
+    return bwd_from_carries(params, A, b, traj, cts, B=B)
+
+
+dladmm_unroll_manual_general.defvjp(_fwd_rule_general, _bwd_rule_general)
+
 __all__ = [
     "dladmm_unroll_manual",
+    "dladmm_unroll_manual_general",
     "bwd_from_carries",
     "shifted_residuals",
 ]

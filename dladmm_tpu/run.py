@@ -33,6 +33,14 @@ def main(argv=None) -> int:
         "--layer-loss", choices=["uniform", "linear", "none"], default=None
     )
     ap.add_argument(
+        "--clip-mode",
+        choices=["global", "delayed"],
+        default=None,
+        help="clip_norm application: exact global-norm (two-pass) or "
+        "one-step-delayed norm (single-pass, fuses into Adam — "
+        "train/loop.delayed_clip_by_global_norm)",
+    )
+    ap.add_argument(
         "--vjp",
         choices=["auto", "manual", "xla"],
         default=None,
@@ -67,7 +75,7 @@ def main(argv=None) -> int:
 
     cfg = get_config(args.config)
     overrides = {}
-    for f in ("steps", "batch", "lr", "seed", "kernel", "vjp"):
+    for f in ("steps", "batch", "lr", "seed", "kernel", "vjp", "clip_mode"):
         v = getattr(args, f)
         if v is not None:
             overrides[f] = v

@@ -41,6 +41,13 @@ class TrainConfig:
     # step on W1/beta can push the layer map's Lipschitz constant > 1,
     # after which the forward blows up in one step).
     clip_norm: Optional[float] = None
+    # How clip_norm is applied: "global" = optax.clip_by_global_norm
+    # (two passes over the grads: norm, then scale+Adam); "delayed" =
+    # scale step i by step i-1's global norm (train/loop.py
+    # delayed_clip_by_global_norm) — single-pass, so XLA fuses the norm
+    # reduction into the Adam update sweep, shaving HBM traffic in the
+    # optimizer phase (VERDICT r2 #4; measured in BASELINE.md).
+    clip_mode: str = "global"
     # {auto|megakernel|pallas|reference} (SURVEY.md §9.1; models/api.py)
     kernel: str = "auto"
     # "bfloat16" runs the unroll in bf16 with fp32 master params/optimizer

@@ -15,18 +15,17 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 # Keep CI deterministic and fast.
 os.environ.setdefault("JAX_ENABLE_X64", "0")
-# Persistent XLA compilation cache: most of the suite's wall time is CPU
-# XLA compiles, and re-runs (or sharded CI runs in separate processes)
-# hit the same programs — the cache cuts repeat wall time substantially.
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR", "/tmp/dladmm_jax_test_cache"
-)
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 
 # The sandbox's sitecustomize pins JAX_PLATFORMS=axon (real TPU) before
 # conftest runs, so the env var alone is not enough — force via config.
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent XLA compilation cache: most of the suite's wall time is CPU
+# XLA compiles, and re-runs (or sharded CI runs in separate processes)
+# hit the same programs — the cache cuts repeat wall time substantially.
+# (Must be set via jax.config: the env var is not read on this path.)
+jax.config.update("jax_compilation_cache_dir", "/tmp/dladmm_jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 assert jax.devices()[0].platform == "cpu", jax.devices()
 assert jax.device_count() == 8, jax.devices()

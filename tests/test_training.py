@@ -253,3 +253,53 @@ def test_weighted_trajectory_mse_is_the_single_loss_impl():
             for k in range(K)
         )
         np.testing.assert_allclose(float(got), want, rtol=1e-6)
+
+
+def test_delayed_clip_uses_previous_step_norm():
+    """delayed_clip_by_global_norm (VERDICT r2 #4): step i is scaled by
+    min(1, c / ||g_{i-1}||) — step 0 unclipped, the current norm only
+    feeds the NEXT step."""
+    import jax.numpy as jnp
+    import optax
+
+    from dladmm_tpu.train.loop import delayed_clip_by_global_norm
+
+    c = 1.0
+    tx = delayed_clip_by_global_norm(c)
+    g0 = {"w": jnp.full((4,), 2.0)}  # ||g0|| = 4
+    g1 = {"w": jnp.full((4,), 0.1)}  # ||g1|| = 0.2
+    state = tx.init(g0)
+
+    u0, state = tx.update(g0, state)
+    np.testing.assert_allclose(np.asarray(u0["w"]), 2.0)  # step 0: no clip
+    np.testing.assert_allclose(float(state.prev_norm), 4.0)
+
+    # Step 1 is scaled by c/||g0|| = 1/4, NOT by its own (tiny) norm.
+    u1, state = tx.update(g1, state)
+    np.testing.assert_allclose(np.asarray(u1["w"]), 0.1 / 4.0, rtol=1e-6)
+    np.testing.assert_allclose(float(state.prev_norm), 0.2, rtol=1e-6)
+
+    # Step 2: prev norm 0.2 < c => scale capped at 1 (no inflation).
+    u2, _ = tx.update(g1, state)
+    np.testing.assert_allclose(np.asarray(u2["w"]), 0.1, rtol=1e-6)
+
+    # And _build_optimizer wires it from the config.
+    from types import SimpleNamespace
+
+    from dladmm_tpu.train.loop import _build_optimizer
+
+    t = SimpleNamespace(
+        lr_schedule=None, lr=1e-3, steps=10, clip_norm=1.0,
+        clip_mode="delayed",
+    )
+    opt = _build_optimizer(t)
+    s = opt.init(g0)
+    _, s = opt.update(g0, s, g0)
+    import pytest as _pytest
+
+    t_bad = SimpleNamespace(
+        lr_schedule=None, lr=1e-3, steps=10, clip_norm=1.0,
+        clip_mode="typo",
+    )
+    with _pytest.raises(ValueError, match="clip_mode"):
+        _build_optimizer(t_bad)
