@@ -1,0 +1,71 @@
+"""Driver-contract tests for bench.py (VERDICT r2 #1).
+
+The driver parses the LAST JSON line of stdout; round 2's capture
+timed out with nothing printed. These pin the hardened contract:
+headline-first printing, parseable-diagnostic-on-dead-relay, and the
+smoke-mode end-to-end flow.
+"""
+
+import importlib.util
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BENCH = os.path.join(REPO, "bench.py")
+
+
+def _load_bench():
+    spec = importlib.util.spec_from_file_location("bench_mod", BENCH)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_unhealthy_relay_prints_parseable_diagnostic(monkeypatch, capsys):
+    """A dead relay must yield a parseable JSON line (value null) and a
+    nonzero exit — not a silent hang into the driver's timeout."""
+    bench = _load_bench()
+    monkeypatch.setattr(
+        bench, "_relay_health_check", lambda: (False, "timeout after 90s")
+    )
+    rc = bench.main()
+    assert rc == 1
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    payload = json.loads(line)
+    assert payload["value"] is None
+    assert payload["unit"] == "layer_iter/s"
+    assert "relay unhealthy" in payload["detail"]["error"]
+
+
+@pytest.mark.slow
+def test_smoke_mode_prints_headline_first_and_enriched_tail():
+    """End-to-end on CPU in smoke mode: at least two JSON lines, the
+    FIRST (headline, flushed before secondary phases) and the LAST
+    (enriched) both satisfying the driver schema, and the enriched tail
+    carries the deep-supervised + paper-config details."""
+    env = dict(os.environ)
+    env["DLADMM_BENCH_PLATFORM"] = "cpu"
+    env["DLADMM_BENCH_SMOKE"] = "1"
+    out = subprocess.run(
+        [sys.executable, BENCH],
+        capture_output=True,
+        text=True,
+        timeout=540,
+        env=env,
+        cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [l for l in out.stdout.splitlines() if l.strip()]
+    payloads = [json.loads(l) for l in lines]
+    assert len(payloads) >= 2
+    for p in (payloads[0], payloads[-1]):
+        assert {"metric", "value", "unit", "vs_baseline", "detail"} <= set(p)
+        assert p["value"] > 0
+    tail = payloads[-1]["detail"]
+    assert "deep_supervised_step_ms" in tail
+    assert "paper_config_full_pallas_step_us" in tail
+    assert tail["SMOKE_MODE"]
