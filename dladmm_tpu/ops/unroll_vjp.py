@@ -334,9 +334,69 @@ def _bwd_rule_general(res, cts):
 
 dladmm_unroll_manual_general.defvjp(_fwd_rule_general, _bwd_rule_general)
 
+
+@jax.custom_vjp
+def dladmm_traj_manual_general(params, A: Array, B: Array, b: Array):
+    """General-B trajectory (deep supervision): (params, A, B, b) ->
+    stacked per-layer (x, z, lam) of shape (K, S, ·), with the manual
+    reverse-scan backward folding the per-layer cotangents — the
+    general-B analog of pallas_unroll.make_unrolled_trajectory, so
+    trajectory losses with B != I are not stuck on XLA autodiff
+    either."""
+    _, ys = _traj_scan_general(params, A, B, b)
+    return ys[4], ys[5], ys[6]  # (tx, tz, tlam) stacks
+
+
+def _traj_scan_general(params, A, B, b):
+    from dladmm_tpu.ops.reference import dladmm_layer_step_cached
+
+    S = b.shape[0]
+    n = params.W1.shape[1]
+    d = params.W2.shape[-2]
+    dt = b.dtype
+    x = jnp.zeros((S, n), dt)
+    z = jnp.zeros((S, d), dt)
+    lam = jnp.zeros_like(b)
+    Ax = jnp.zeros_like(b)
+    Bz = jnp.zeros_like(b)
+
+    def body(carry, p: LayerParams):
+        x, z, lam, Ax, Bz = carry
+        x1, z1, lam1, Ax1, Bz1 = dladmm_layer_step_cached(
+            A, B, b, x, z, lam, Ax, Bz, p
+        )
+        # Input pieces + every output stack (lam1 included so the
+        # trajectory primal is a plain slice of ys).
+        ys = (lam, Ax, Bz, z, x1, z1, lam1, Ax1, Bz1)
+        return (x1, z1, lam1, Ax1, Bz1), ys
+
+    return jax.lax.scan(body, (x, z, lam, Ax, Bz), LayerParams(*params))
+
+
+def _traj_fwd_general(params, A, B, b):
+    _, ys = _traj_scan_general(params, A, B, b)
+    return (ys[4], ys[5], ys[6]), (params, A, B, b, ys)
+
+
+def _traj_bwd_general(res, cts):
+    params, A, B, b, ys = res
+    resid = (ys[0], ys[1], ys[2], ys[3], ys[4], ys[5], ys[7], ys[8])
+    zeros = (
+        jnp.zeros_like(ys[4][-1]),
+        jnp.zeros_like(ys[5][-1]),
+        jnp.zeros_like(ys[6][-1]),
+    )
+    return bwd_from_carries(
+        params, A, b, resid, zeros, traj_cts=cts, B=B
+    )
+
+
+dladmm_traj_manual_general.defvjp(_traj_fwd_general, _traj_bwd_general)
+
 __all__ = [
     "dladmm_unroll_manual",
     "dladmm_unroll_manual_general",
+    "dladmm_traj_manual_general",
     "bwd_from_carries",
     "shifted_residuals",
 ]

@@ -138,6 +138,12 @@ def loss_fn(
         return jnp.mean((x - x_star) ** 2) + jnp.mean((z - z_star) ** 2)
     if forward_fn is not None:
         tx, tz, _ = forward_fn(params, A, b)
+    elif B is not None and step_fn is None and vjp == "auto":
+        # General-B deep supervision gets the manual reverse-scan
+        # backward too (parity pinned in tests/test_unroll_vjp.py).
+        from dladmm_tpu.ops.unroll_vjp import dladmm_traj_manual_general
+
+        tx, tz, _ = dladmm_traj_manual_general(params, A, B, b)
     else:
         _, (tx, tz, _) = dladmm_forward(
             params, A, b, B=B, capture_trajectory=True, step_fn=step_fn
