@@ -23,7 +23,10 @@ from jax import Array
 class SyntheticBatch(NamedTuple):
     b: Array  # (S, m) observations
     x_star: Array  # (S, n) ground-truth sparse code
-    e_star: Array  # (S, m) ground-truth sparse corruption
+    # Ground-truth z stream: sparse corruption e* of shape (S, m) in the
+    # benchmark B = I case, or the sparse code z* of shape (S, d) when a
+    # general z-dictionary B is passed to make_batch (b = A x* + B z*).
+    e_star: Array
 
 
 def make_dictionary(key: jax.Array, m: int, n: int, dtype=jnp.float32) -> Array:
@@ -49,13 +52,23 @@ def make_batch(
     sparsity_x: float = 0.1,
     sparsity_e: float = 0.1,
     dtype=jnp.float32,
+    B: Array | None = None,
 ) -> SyntheticBatch:
-    """One batch of (b, x*, e*) with b = A x* + e*. Jit-safe."""
+    """One batch of (b, x*, e*) with b = A x* + e*. Jit-safe.
+
+    With a general z-dictionary B (m, d) the z stream is itself a sparse
+    code: e_star becomes z* of shape (batch, d) with sparsity_e support,
+    and b = A x* + B z* (SURVEY.md §2's general constraint Ax + Bz = b).
+    """
     m, n = A.shape
     kx, ke = jax.random.split(key)
     x_star = _bernoulli_gaussian(kx, (batch, n), sparsity_x, dtype)
-    e_star = _bernoulli_gaussian(ke, (batch, m), sparsity_e, dtype)
-    b = x_star @ A.T + e_star
+    if B is None:
+        e_star = _bernoulli_gaussian(ke, (batch, m), sparsity_e, dtype)
+        b = x_star @ A.T + e_star
+    else:
+        e_star = _bernoulli_gaussian(ke, (batch, B.shape[1]), sparsity_e, dtype)
+        b = x_star @ A.T + e_star @ B.T
     return SyntheticBatch(b=b, x_star=x_star, e_star=e_star)
 
 
@@ -66,8 +79,9 @@ def batch_stream(
     sparsity_x: float = 0.1,
     sparsity_e: float = 0.1,
     dtype=jnp.float32,
+    B: Array | None = None,
 ) -> Iterator[SyntheticBatch]:
     """Infinite deterministic stream of training batches."""
     while True:
         key, sub = jax.random.split(key)
-        yield make_batch(sub, A, batch, sparsity_x, sparsity_e, dtype)
+        yield make_batch(sub, A, batch, sparsity_x, sparsity_e, dtype, B)

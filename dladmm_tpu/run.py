@@ -163,6 +163,11 @@ def main(argv=None) -> int:
         # wrong for the stages, so it is skipped entirely here.
         if args.ckpt_dir or args.resume:
             ap.error("--greedy does not support --ckpt-dir/--resume")
+        if not p.identity_B:
+            ap.error(
+                "--greedy supports the identity-B benchmarks only; "
+                f"train config {cfg.name!r} without it"
+            )
         from dladmm_tpu.train.loop import fit_greedy
 
         print("kernel path: greedy (per-stage auto-selection)", flush=True)
@@ -170,7 +175,20 @@ def main(argv=None) -> int:
         report(history[-1])
         return 0
 
-    if cfg.train.vjp == "manual":
+    if not p.identity_B:
+        # General z-dictionary B: the fused Pallas forwards assume B = I
+        # (SURVEY.md §2 point 4), so the forward is the XLA scan and the
+        # backward the manual general-B reverse scan (ops/unroll_vjp.py)
+        # via loss_fn's vjp="auto"/"manual" routing.
+        if cfg.train.kernel not in ("auto", "reference"):
+            ap.error(
+                f"--kernel={cfg.train.kernel} requires identity B; the "
+                f"general-B config {cfg.name!r} runs the XLA scan + "
+                "manual reverse-scan VJP"
+            )
+        forward_fn, step_fn = None, None
+        desc = "xla-scan + manual general-B reverse-scan vjp"
+    elif cfg.train.vjp == "manual":
         # The manual reverse-scan VJP replaces the whole forward+backward;
         # it is exclusive with megakernel/fused-step forward selection.
         forward_fn, step_fn, desc = None, None, "manual-vjp-reverse-scan"

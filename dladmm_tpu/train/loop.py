@@ -209,7 +209,7 @@ def make_train_step(
                 "(make_train_state(..., compute_dtype=...) pairs with "
                 "make_train_step(..., compute_dtype=...))"
             )
-        data = make_batch(key, A, batch, sparsity_x, sparsity_e, A.dtype)
+        data = make_batch(key, A, batch, sparsity_x, sparsity_e, A.dtype, B)
         if compute_dtype is not None and state.compute_params is not None:
             b_c = data.b.astype(compute_dtype)
             loss, grads = jax.value_and_grad(loss_fn)(
@@ -491,7 +491,19 @@ def fit(
         from dladmm_tpu.data.synthetic import make_dictionary
 
         A = make_dictionary(k_dict, p.m, p.n, dtype)
-    B = None  # identity_B benchmark path; general B via explicit arg
+    B = None  # identity_B benchmark fast path (SURVEY.md §2 point 4)
+    if not getattr(p, "identity_B", True):
+        # General z-dictionary B (m, d): its own Gaussian unit-column
+        # dictionary, deterministically derived from the A key so A is
+        # unchanged vs the identity_B presets at the same seed. Data
+        # becomes b = A x* + B z* and the whole train/eval path (manual
+        # general-B VJP, LADMM baseline, metrics) runs the general
+        # recurrence.
+        from dladmm_tpu.data.synthetic import make_dictionary
+
+        B = make_dictionary(
+            jax.random.fold_in(k_dict, 1), p.m, p.d or p.m, dtype
+        )
 
     params = (
         init_params
@@ -521,7 +533,7 @@ def fit(
     )
     state = make_train_state(params, optimizer, compute_dtype)
     eval_data = make_batch(
-        k_eval, A, t.eval_batch, p.sparsity_x, p.sparsity_e, dtype
+        k_eval, A, t.eval_batch, p.sparsity_x, p.sparsity_e, dtype, B
     )
 
     start = 0
@@ -614,6 +626,12 @@ def fit_greedy(
     from dladmm_tpu.models.unroll import init_dladmm_params
 
     p, t = config.problem, config.train
+    if not getattr(p, "identity_B", True):
+        raise ValueError(
+            "fit_greedy supports the identity-B benchmarks only; train "
+            "general-B configs end-to-end via fit() (run.py without "
+            "--greedy)"
+        )
     key = jax.random.PRNGKey(t.seed)
     k_dict, k_eval, k_train = jax.random.split(key, 3)
     dtype = jnp.dtype(t.dtype)
@@ -780,6 +798,12 @@ def fit_sharded(
     )
 
     p, t, s = config.problem, config.train, config.sharding
+    if not getattr(p, "identity_B", True):
+        raise ValueError(
+            "fit_sharded supports the identity-B benchmarks only (the "
+            "DP/TP collective layouts assume the z stream lives in R^m); "
+            "train general-B configs single-device via fit()"
+        )
     layout = getattr(s, "layout", "sharded_w2")
     vjp = getattr(t, "vjp", "auto")
     compute_dtype = jnp.bfloat16 if t.compute_dtype == "bfloat16" else None

@@ -20,6 +20,10 @@ class ProblemConfig:
     sparsity_x: float = 0.1
     sparsity_e: float = 0.1
     identity_B: bool = True  # benchmark fast path B = I (SURVEY.md §2 point 4)
+    # Width of the general z-dictionary B (m, d) when identity_B=False
+    # (None = m). fit() builds B as its own Gaussian unit-column
+    # dictionary and the data becomes b = A x* + B z*.
+    d: Optional[int] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -118,6 +122,25 @@ PRESETS = {
             lr_schedule="cosine",
             clip_norm=1.0,
             eval_every=1000,
+            layer_loss="uniform",
+        ),
+    ),
+    # General-constraint config: Ax + Bz = b with a NON-identity z
+    # dictionary B (m, d) — both streams are sparse codes. Exercises the
+    # general recurrence end-to-end (XLA-scan forward + manual general-B
+    # reverse-scan VJP, general LADMM baseline/metrics). CPU-runnable;
+    # kept small because the general path is API surface, not a
+    # reference benchmark (both paper benchmarks are B = I).
+    "synthetic_general_b": Config(
+        name="synthetic_general_b",
+        problem=ProblemConfig(m=100, n=200, K=10, identity_B=False, d=150),
+        train=TrainConfig(
+            batch=64,
+            steps=3000,
+            lr=1e-3,
+            lr_schedule="cosine",
+            clip_norm=1.0,
+            eval_every=500,
             layer_loss="uniform",
         ),
     ),

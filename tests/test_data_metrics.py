@@ -79,3 +79,21 @@ def test_psnr_identity_is_large():
     assert float(psnr(img, img)) > 100.0
     noisy = img + 0.1
     np.testing.assert_allclose(float(psnr(noisy, img)), 20.0, atol=1e-3)
+
+
+def test_make_batch_general_B():
+    """make_batch with a z-dictionary B: e_star becomes z* in R^d and
+    b = A x* + B z* exactly."""
+    import numpy as np
+
+    A = make_dictionary(jax.random.PRNGKey(0), 10, 20)
+    B = make_dictionary(jax.random.PRNGKey(1), 10, 14)
+    d = make_batch(jax.random.PRNGKey(2), A, 6, B=B)
+    assert d.x_star.shape == (6, 20)
+    assert d.e_star.shape == (6, 14)
+    np.testing.assert_allclose(
+        np.asarray(d.b),
+        np.asarray(d.x_star @ A.T + d.e_star @ B.T),
+        rtol=1e-6,
+        atol=1e-6,
+    )

@@ -136,8 +136,9 @@ def test_dual_copy_mixed_precision_matches_cast_path():
 
 def test_training_with_general_B():
     """End-to-end training with a non-identity B (the general Ax+Bz=b
-    API, SURVEY.md §2 point 4): grads flow, loss decreases, and the
-    manual-VJP fast path correctly declines (XLA autodiff used)."""
+    API, SURVEY.md §2 point 4): grads flow and the loss decreases
+    (vjp='auto' routes through the manual general-B reverse scan —
+    parity pinned in tests/test_unroll_vjp.py)."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -303,3 +304,53 @@ def test_delayed_clip_uses_previous_step_norm():
     )
     with _pytest.raises(ValueError, match="clip_mode"):
         _build_optimizer(t_bad)
+
+
+def test_fit_general_B_config_beats_ladmm():
+    """The synthetic_general_b preset path end-to-end through fit():
+    config-driven B construction (identity_B=False, d != m), general-B
+    data gen (b = A x* + B z*), deep-supervised training via the manual
+    general-B trajectory VJP, and eval against the general-B LADMM
+    baseline — the trained net must beat classical LADMM at depth K."""
+    import dataclasses
+
+    from dladmm_tpu.train.loop import fit
+    from dladmm_tpu.utils.config import PRESETS
+
+    cfg = PRESETS["synthetic_general_b"]
+    cfg = dataclasses.replace(
+        cfg,
+        problem=dataclasses.replace(cfg.problem, m=40, n=80, d=60, K=6),
+        train=dataclasses.replace(
+            cfg.train, batch=32, steps=400, eval_every=400
+        ),
+    )
+    assert not cfg.problem.identity_B
+    _, history = fit(cfg)
+    last = history[-1]
+    curves = last["curves"]
+    assert float(last["nmse_db"]) < float(curves["ladmm_curve_db"][-1]), (
+        last["nmse_db"],
+        curves["ladmm_curve_db"][-1],
+    )
+    import numpy as np
+
+    assert np.isfinite(last["residual"])
+
+
+def test_fit_sharded_and_greedy_reject_general_B():
+    import dataclasses
+
+    import pytest
+
+    from dladmm_tpu.train.loop import fit_greedy, fit_sharded
+    from dladmm_tpu.utils.config import PRESETS, ShardingConfig
+
+    cfg = PRESETS["synthetic_general_b"]
+    with pytest.raises(ValueError, match="identity-B"):
+        fit_greedy(cfg)
+    cfg2 = dataclasses.replace(
+        cfg, sharding=ShardingConfig(data_axis=2, model_axis=1)
+    )
+    with pytest.raises(ValueError, match="identity-B"):
+        fit_sharded(cfg2)
