@@ -444,11 +444,12 @@ def _traj_any(params, A, b, *, matmul_dtype, interpret, with_tax=True):
     else the XLA-scan fallback (identical layout and math)."""
     K, n, m = params.W1.shape
     d = params.W2.shape[1]
-    if (
-        interpret
-        or traj_tile_batch(m, n, d, b.shape[0], b.dtype.itemsize)
-        is not None
-    ):
+    # The VMEM-fit gate applies in interpret mode too: interpret runs
+    # the kernel without a VMEM limit, but _traj_pallas still needs a
+    # valid tile size, and over-VMEM shapes must take the same XLA
+    # fallback they take on hardware (previously the flagship deep-
+    # supervision shape raised on CPU instead of falling back).
+    if traj_tile_batch(m, n, d, b.shape[0], b.dtype.itemsize) is not None:
         return _traj_pallas(
             params,
             A,

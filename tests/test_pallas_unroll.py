@@ -192,3 +192,33 @@ def test_deep_supervision_trajectory_megakernel_grads():
             np.asarray(got), np.asarray(r), rtol=3e-5, atol=3e-5 * scale,
             err_msg=name,
         )
+
+
+def test_trajectory_forward_over_vmem_falls_back_to_xla():
+    """make_unrolled_trajectory at a shape whose trajectory tile does
+    NOT fit VMEM must fall back to the XLA-scan trajectory (same math)
+    rather than raise — on every backend (the flagship deep-supervision
+    config hits this path; previously CPU raised)."""
+    from dladmm_tpu.ops.pallas_unroll import (
+        make_unrolled_trajectory,
+        traj_tile_batch,
+    )
+
+    m, n, K, S = 1000, 2000, 2, 1024
+    assert traj_tile_batch(m, n, m, S) is None  # shape is over-VMEM
+    key = jax.random.PRNGKey(0)
+    kA, kb = jax.random.split(key)
+    A = make_dictionary(kA, m, n)
+    params = init_dladmm_params(A, K=K)
+    b = make_batch(kb, A, S).b
+    tx, tz, tlam = make_unrolled_trajectory()(params, A, b)
+    assert tx.shape == (K, S, n)
+    (ex, ez, el), (etx, etz, etlam) = dladmm_forward(
+        params, A, b, capture_trajectory=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(tx), np.asarray(etx), rtol=2e-5, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(tlam), np.asarray(etlam), rtol=2e-5, atol=2e-5
+    )

@@ -354,3 +354,14 @@ def test_fit_sharded_and_greedy_reject_general_B():
     )
     with pytest.raises(ValueError, match="identity-B"):
         fit_sharded(cfg2)
+
+
+def test_run_cli_rejects_bad_general_B_flags():
+    """run.py argparse guards: fused kernels and --greedy require
+    identity B."""
+    from dladmm_tpu import run
+
+    with pytest.raises(SystemExit):
+        run.main(["--config=synthetic_general_b", "--kernel=megakernel"])
+    with pytest.raises(SystemExit):
+        run.main(["--config=synthetic_general_b", "--greedy"])
