@@ -77,14 +77,23 @@ def measure(m=250, n=500, K=15,
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--out", default=None)
-    ap.add_argument("--dtype", choices=["float32", "bfloat16"],
+    # "both" measures fp32 then bf16 back-to-back in ONE session so the
+    # published table rows share a chip session (mixed-session rows
+    # drifted ~3x on the shared relay — VERDICT r2 weak #3).
+    ap.add_argument("--dtype", choices=["float32", "bfloat16", "both"],
                     default="float32")
     args = ap.parse_args(argv)
-    result = measure(
-        dtype=jnp.bfloat16 if args.dtype == "bfloat16" else None
+    dtypes = (
+        ["float32", "bfloat16"] if args.dtype == "both" else [args.dtype]
     )
-    result["dtype"] = args.dtype
-    out = json.dumps(result, indent=2)
+    results = []
+    for name in dtypes:
+        result = measure(
+            dtype=jnp.bfloat16 if name == "bfloat16" else None
+        )
+        result["dtype"] = name
+        results.append(result)
+    out = json.dumps(results[0] if len(results) == 1 else results, indent=2)
     print(out)
     if args.out:
         with open(args.out, "w") as f:

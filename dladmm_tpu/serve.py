@@ -52,6 +52,7 @@ class InferenceServer:
         donate_input: bool = False,
         dtype=None,
         layers: Optional[int] = None,
+        B: Optional[Array] = None,
     ):
         """dtype=jnp.bfloat16 serves in bf16 (params/A cast once at
         construction, requests cast per call): ~2x less HBM per solve.
@@ -64,7 +65,11 @@ class InferenceServer:
         and a k-layer solve costs ~k/K of the full latency. Layer
         parameters are untied (SURVEY.md §2 pt 1), so slicing the
         stacked [K,...] pytree is exact — the k-layer net IS the trained
-        net's k-layer prefix (pinned by tests/test_serve.py)."""
+        net's k-layer prefix (pinned by tests/test_serve.py).
+
+        B: general z-dictionary (m, d) for solvers trained on the full
+        Ax + Bz = b constraint — served via the XLA-scan forward (the
+        fused kernels assume B = I); returns (x, z) with z in R^d."""
         if layers is not None:
             K = params.W1.shape[0]
             if not 1 <= layers <= K:
@@ -73,19 +78,40 @@ class InferenceServer:
         if dtype is not None:
             params = jax.tree.map(lambda v: v.astype(dtype), params)
             A = A.astype(dtype)
+            B = None if B is None else B.astype(dtype)
         m, n = A.shape
         d = params.W2.shape[1]
         self.params = params
         self.A = A
+        self.B = B
         self.m = m
         self.buckets = tuple(sorted(buckets or _buckets(max_batch)))
         self._compiled: Dict[int, jax.stages.Compiled] = {}
+        if B is not None and kernel not in ("auto", "reference"):
+            raise ValueError(
+                f"kernel={kernel!r} requires identity B; general-B "
+                "serving runs the XLA scan"
+            )
         for S in self.buckets:
-            forward_fn, _ = resolve_forward(m, n, d, S, kernel=kernel)
-            fn = jax.jit(lambda p, A_, b_, _f=forward_fn: _f(p, A_, b_)[:2])
-            self._compiled[S] = fn.lower(
-                params, A, jax.ShapeDtypeStruct((S, m), A.dtype)
-            ).compile()
+            if B is None:
+                forward_fn, _ = resolve_forward(m, n, d, S, kernel=kernel)
+                fn = jax.jit(
+                    lambda p, A_, b_, _f=forward_fn: _f(p, A_, b_)[:2]
+                )
+                self._compiled[S] = fn.lower(
+                    params, A, jax.ShapeDtypeStruct((S, m), A.dtype)
+                ).compile()
+            else:
+                # General z-dictionary: the XLA-scan forward with B as a
+                # real argument (kept out of the compiled constant pool).
+                from dladmm_tpu.models.unroll import dladmm_forward
+
+                fn = jax.jit(
+                    lambda p, A_, B_, b_: dladmm_forward(p, A_, b_, B=B_)[:2]
+                )
+                self._compiled[S] = fn.lower(
+                    params, A, B, jax.ShapeDtypeStruct((S, m), A.dtype)
+                ).compile()
 
     def _bucket_for(self, S: int) -> int:
         for b in self.buckets:
@@ -107,5 +133,8 @@ class InferenceServer:
             b = jnp.concatenate(
                 [b, jnp.zeros((bucket - S, self.m), b.dtype)]
             )
-        x, z = self._compiled[bucket](self.params, self.A, b)
+        if self.B is None:
+            x, z = self._compiled[bucket](self.params, self.A, b)
+        else:
+            x, z = self._compiled[bucket](self.params, self.A, self.B, b)
         return x[:S], z[:S]

@@ -90,3 +90,38 @@ def test_early_exit_layer_slicing(server_and_data):
     np.testing.assert_allclose(np.asarray(z3), np.asarray(zr), rtol=1e-5, atol=1e-6)
     with pytest.raises(ValueError, match="layers"):
         InferenceServer(params, A, max_batch=16, layers=0)
+
+
+def test_serve_general_B():
+    """InferenceServer(B=...) serves general-constraint solvers: results
+    match dladmm_forward with B exactly, including bucket padding and
+    the early-exit prefix."""
+    import numpy as np
+
+    from dladmm_tpu.data.synthetic import make_batch, make_dictionary
+    from dladmm_tpu.models.unroll import dladmm_forward, init_dladmm_params
+    from dladmm_tpu.serve import InferenceServer
+
+    m, n, d, K = 12, 24, 18, 5
+    key = jax.random.PRNGKey(0)
+    kA, kB, kb = jax.random.split(key, 3)
+    A = make_dictionary(kA, m, n)
+    B = make_dictionary(kB, m, d)
+    params = init_dladmm_params(A, B, K=K)
+    b = make_batch(kb, A, 5, B=B).b  # 5 pads into the 8 bucket
+
+    server = InferenceServer(params, A, max_batch=16, B=B)
+    x, z = server.solve(b)
+    assert x.shape == (5, n) and z.shape == (5, d)
+    ex, ez, _ = dladmm_forward(params, A, b, B=B)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(ex), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(ez), rtol=1e-6)
+
+    early = InferenceServer(params, A, max_batch=16, B=B, layers=2)
+    x2, _ = early.solve(b)
+    p2 = jax.tree.map(lambda v: v[:2], params)
+    ex2, _, _ = dladmm_forward(p2, A, b, B=B)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(ex2), rtol=1e-6)
+
+    with pytest.raises(ValueError, match="identity B"):
+        InferenceServer(params, A, max_batch=16, B=B, kernel="megakernel")
