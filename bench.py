@@ -61,13 +61,19 @@ _HEALTH_CODE = (
 )
 
 
-def _relay_health_check(timeout_s: float = 90.0, attempts: int = 2):
+def _relay_health_check(timeout_s: float = 90.0, budget_s: float = 300.0):
     """Run a trivial matmul in a KILLABLE subprocess (an in-process hung
-    dispatch blocks in C and cannot be timed out). Returns (ok, note)."""
+    dispatch blocks in C and cannot be timed out). Retries until
+    budget_s so a relay wedge that clears mid-capture still yields a
+    measured round (the flagship pair needs only ~3 min after this);
+    the budget counts toward SOFT_BUDGET_S, so secondary phases shrink
+    instead of the headline. Returns (ok, note)."""
     import subprocess
 
-    note = ""
-    for i in range(attempts):
+    t0 = time.monotonic()
+    note, i = "", 0
+    while True:
+        i += 1
         try:
             r = subprocess.run(
                 [sys.executable, "-c", _HEALTH_CODE],
@@ -76,12 +82,13 @@ def _relay_health_check(timeout_s: float = 90.0, attempts: int = 2):
                 text=True,
             )
             if r.returncode == 0 and "OK" in r.stdout:
-                return True, f"healthy (attempt {i + 1})"
+                return True, f"healthy (attempt {i})"
             note = f"rc={r.returncode} stderr={r.stderr[-200:]!r}"
         except subprocess.TimeoutExpired:
-            note = f"timeout after {timeout_s}s (attempt {i + 1})"
+            note = f"timeout after {timeout_s}s (attempt {i})"
+        if time.monotonic() - t0 + timeout_s + 5.0 > budget_s:
+            return False, note
         time.sleep(5.0)
-    return False, note
 
 
 def _chained_train_time(step, state0, iters=32):

@@ -1,0 +1,25 @@
+#!/bin/bash
+# Round-3 TPU measurement battery. Run on a HEALTHY relay (health-check
+# first; see memory: the relay wedges for 30+ min at a time). Each phase
+# is individually timeout-bounded so one wedge doesn't eat the session.
+# Artifacts land in bench_out/*_r3*; console log tells which phase died.
+set -x
+cd "$(dirname "$0")/.."
+
+# 0) kernel hygiene: Mosaic-only failures never surface in CPU tests
+timeout 600 python scripts/verify_tpu.py || exit 1
+
+# 1) optimizer clip A/B (VERDICT r2 #4): none / global / delayed
+timeout 900 python scripts/ab_clip.py | tee bench_out/ab_clip_r3.json
+
+# 2) driver bench contract: must finish well under the ~10 min capture
+time timeout 600 python bench.py
+
+# 3) serving table, both dtypes in ONE session (VERDICT r2 #5)
+timeout 1200 python -m dladmm_tpu.bench.serving --dtype=both \
+  --out bench_out/serving_r3.json
+
+# 4) synthetic_large quality with delayed clip (the shape where the
+#    clip might actually bind; ~3 min of device time)
+timeout 2400 python -m dladmm_tpu.run --config=synthetic_large \
+  --clip-mode=delayed --log-jsonl=bench_out/synthetic_large_delayed_r3.jsonl
