@@ -365,3 +365,37 @@ def test_run_cli_rejects_bad_general_B_flags():
         run.main(["--config=synthetic_general_b", "--kernel=megakernel"])
     with pytest.raises(SystemExit):
         run.main(["--config=synthetic_general_b", "--greedy"])
+
+
+def test_general_B_bf16_mixed_precision_trains():
+    """General B composes with the persistent-bf16 mixed-precision path
+    for both loss modes (final-layer and deep supervision) — the manual
+    general-B VJPs run in the compute dtype."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from dladmm_tpu.data.synthetic import make_batch, make_dictionary
+    from dladmm_tpu.models.unroll import init_dladmm_params
+    from dladmm_tpu.train.loop import (
+        make_train_state,
+        make_train_step_from_batch,
+    )
+
+    key = jax.random.PRNGKey(0)
+    kA, kB, kb = jax.random.split(key, 3)
+    A = make_dictionary(kA, 12, 24)
+    B = make_dictionary(kB, 12, 10)
+    params = init_dladmm_params(A, B, K=4)
+    data = make_batch(kb, A, 8, B=B)
+    opt = optax.adam(1e-2)
+    for lw in (None, jnp.full((4,), 0.25)):
+        step = make_train_step_from_batch(
+            opt, A, B=B, layer_weights=lw,
+            compute_dtype=jnp.bfloat16, donate=False,
+        )
+        st = make_train_state(params, opt, jnp.bfloat16)
+        _, loss0 = step(st, data)
+        for _ in range(30):
+            st, loss = step(st, data)
+        assert float(loss) < float(loss0), (lw, float(loss0), float(loss))
