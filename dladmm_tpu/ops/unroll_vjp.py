@@ -72,6 +72,118 @@ def _max_grad(a: Array, c, g: Array) -> Array:
     return g * ((a > c) + 0.5 * (a == c)).astype(g.dtype)
 
 
+def bwd_layer(
+    p: LayerParams,
+    r,
+    cts: Tuple[Array, Array, Array, Array],
+    A: Array,
+    b: Array,
+    B: Optional[Array] = None,
+    acc=None,
+):
+    """One layer of the reverse sweep (the module-docstring algebra).
+
+    cts: cotangents flowing in from layer k+1 as (gx, gz, glam, gAx);
+    r: layer k's residuals (6-tuple for B=None, 8-tuple for general B —
+    see ``bwd_from_carries``). acc: optional data-cotangent accumulators
+    — (gA, gb) for B=None, (gA, gB, gb) for general B. When acc is None
+    the A/B/b outer products are never traced at all (the fused-
+    optimizer training step never needs them; train/fused_adam.py).
+
+    Returns (new_cts, gparams, new_acc).
+    """
+    gx, gz, glam, gAx = cts
+    dt = b.dtype
+    if B is None:
+        # Identity B: Bz coincides with z (no separate stacks).
+        (lam_in, Ax_in, z_in, x1, z1, Ax1) = r
+        Bz_in, Bz1 = z_in, z1
+        if acc is not None:
+            gA, gb = acc
+    else:
+        (lam_in, Ax_in, Bz_in, z_in, x1, z1, Ax1, Bz1) = r
+        if acc is not None:
+            gA, gB, gb = acc
+    beta_raw = p.beta
+    beta = jnp.maximum(beta_raw, _BETA_MIN)
+    ib = 1.0 / beta
+    base = Bz_in - b + lam_in * ib
+    u = Ax_in + base
+    v = Ax1 + base
+    r1 = Ax1 + Bz1 - b  # dual residual in lam1 = lam + beta*r1
+
+    # lam1 = lam_in + beta * (Ax1 + B z1 - b)
+    glam1 = glam
+    gbeta = jnp.sum(glam1 * r1)
+    gBz1 = beta * glam1
+    if B is None:
+        gz1 = gz + gBz1
+    else:
+        # Bz1 = z1 @ Bᵀ
+        gz1 = gz + _mn(gBz1, B)
+        if acc is not None:
+            gB = gB + _outer(gBz1, z1)
+    gAx1 = gAx + beta * glam1
+    glam_in = glam1
+
+    # z1 = shrink(z_in - v @ W2ᵀ, max(theta2, 0))
+    mask2 = (z1 != 0).astype(dt)
+    sign2 = jnp.sign(z1)
+    gp2 = gz1 * mask2
+    gth2 = _max_grad(
+        p.theta2, 0.0, _unbroadcast(-(gp2 * sign2), p.theta2.shape)
+    )
+    gz_in = gp2
+    gv = -_mn(gp2, p.W2)
+    gW2 = -_outer(gp2, v)
+
+    # v = Ax1 + base
+    gAx1 = gAx1 + gv
+    gbase = gv
+
+    # Ax1 = x1 @ Aᵀ
+    gx1 = gx + _mn(gAx1, A)
+    if acc is not None:
+        gA = gA + _outer(gAx1, x1)
+
+    # x1 = shrink(x_in - u @ W1ᵀ, max(theta1, 0))
+    mask1 = (x1 != 0).astype(dt)
+    sign1 = jnp.sign(x1)
+    gp1 = gx1 * mask1
+    gth1 = _max_grad(
+        p.theta1, 0.0, _unbroadcast(-(gp1 * sign1), p.theta1.shape)
+    )
+    gx_in = gp1
+    gu = -_mn(gp1, p.W1)
+    gW1 = -_outer(gp1, u)
+
+    # u = Ax_in + base
+    gAx_in = gu
+    gbase = gbase + gu
+
+    # base = B z_in - b + lam_in / beta
+    if B is None:
+        gz_in = gz_in + gbase
+    else:
+        gz_in = gz_in + _mn(gbase, B)
+        if acc is not None:
+            gB = gB + _outer(gbase, z_in)
+    if acc is not None:
+        gb = gb - gbase - beta * glam1
+    glam_in = glam_in + gbase * ib
+    gbeta = gbeta - jnp.sum(gbase * lam_in) * ib * ib
+    gbeta_raw = _max_grad(beta_raw, _BETA_MIN, gbeta)
+
+    new_cts = (gx_in, gz_in, glam_in, gAx_in)
+    if acc is None:
+        new_acc = None
+    elif B is None:
+        new_acc = (gA, gb)
+    else:
+        new_acc = (gA, gB, gb)
+    return new_cts, LayerParams(gW1, gW2, gth1, gth2, gbeta_raw), new_acc
+
+
 def bwd_from_carries(
     params,
     A: Array,
@@ -108,8 +220,10 @@ def bwd_from_carries(
     def body(carry, xs):
         if B is None:
             gx, gz, glam, gAx, gA, gb = carry
+            acc = (gA, gb)
         else:
             gx, gz, glam, gAx, gA, gB, gb = carry
+            acc = (gA, gB, gb)
         if traj_cts is None:
             r, p = xs
         else:
@@ -118,83 +232,8 @@ def bwd_from_carries(
             gx = gx + ctx
             gz = gz + ctz
             glam = glam + ctlam
-        if B is None:
-            # Identity B: Bz coincides with z (no separate stacks).
-            (lam_in, Ax_in, z_in, x1, z1, Ax1) = r
-            Bz_in, Bz1 = z_in, z1
-        else:
-            (lam_in, Ax_in, Bz_in, z_in, x1, z1, Ax1, Bz1) = r
-        beta_raw = p.beta
-        beta = jnp.maximum(beta_raw, _BETA_MIN)
-        ib = 1.0 / beta
-        base = Bz_in - b + lam_in * ib
-        u = Ax_in + base
-        v = Ax1 + base
-        r1 = Ax1 + Bz1 - b  # dual residual in lam1 = lam + beta*r1
-
-        # lam1 = lam_in + beta * (Ax1 + B z1 - b)
-        glam1 = glam
-        gbeta = jnp.sum(glam1 * r1)
-        gBz1 = beta * glam1
-        if B is None:
-            gz1 = gz + gBz1
-        else:
-            # Bz1 = z1 @ Bᵀ
-            gz1 = gz + _mn(gBz1, B)
-            gB = gB + _outer(gBz1, z1)
-        gAx1 = gAx + beta * glam1
-        glam_in = glam1
-
-        # z1 = shrink(z_in - v @ W2ᵀ, max(theta2, 0))
-        mask2 = (z1 != 0).astype(dt)
-        sign2 = jnp.sign(z1)
-        gp2 = gz1 * mask2
-        gth2 = _max_grad(
-            p.theta2, 0.0, _unbroadcast(-(gp2 * sign2), p.theta2.shape)
-        )
-        gz_in = gp2
-        gv = -_mn(gp2, p.W2)
-        gW2 = -_outer(gp2, v)
-
-        # v = Ax1 + base
-        gAx1 = gAx1 + gv
-        gbase = gv
-
-        # Ax1 = x1 @ Aᵀ
-        gx1 = gx + _mn(gAx1, A)
-        gA = gA + _outer(gAx1, x1)
-
-        # x1 = shrink(x_in - u @ W1ᵀ, max(theta1, 0))
-        mask1 = (x1 != 0).astype(dt)
-        sign1 = jnp.sign(x1)
-        gp1 = gx1 * mask1
-        gth1 = _max_grad(
-            p.theta1, 0.0, _unbroadcast(-(gp1 * sign1), p.theta1.shape)
-        )
-        gx_in = gp1
-        gu = -_mn(gp1, p.W1)
-        gW1 = -_outer(gp1, u)
-
-        # u = Ax_in + base
-        gAx_in = gu
-        gbase = gbase + gu
-
-        # base = B z_in - b + lam_in / beta
-        if B is None:
-            gz_in = gz_in + gbase
-        else:
-            gz_in = gz_in + _mn(gbase, B)
-            gB = gB + _outer(gbase, z_in)
-        gb_new = gb - gbase - beta * glam1
-        glam_in = glam_in + gbase * ib
-        gbeta = gbeta - jnp.sum(gbase * lam_in) * ib * ib
-        gbeta_raw = _max_grad(beta_raw, _BETA_MIN, gbeta)
-
-        if B is None:
-            carry = (gx_in, gz_in, glam_in, gAx_in, gA, gb_new)
-        else:
-            carry = (gx_in, gz_in, glam_in, gAx_in, gA, gB, gb_new)
-        return carry, LayerParams(gW1, gW2, gth1, gth2, gbeta_raw)
+        cts, gp, acc = bwd_layer(p, r, (gx, gz, glam, gAx), A, b, B, acc)
+        return cts + acc, gp
 
     init = (
         gx_out,
@@ -398,5 +437,6 @@ __all__ = [
     "dladmm_unroll_manual_general",
     "dladmm_traj_manual_general",
     "bwd_from_carries",
+    "bwd_layer",
     "shifted_residuals",
 ]

@@ -47,6 +47,14 @@ def main(argv=None) -> int:
         help="backprop path through the unroll (ops/unroll_vjp.py)",
     )
     ap.add_argument(
+        "--optimizer",
+        choices=["adam", "fused_adam"],
+        default=None,
+        help="fused_adam runs the Adam update inside the reverse-scan "
+        "backward, layer by layer (train/fused_adam.py); needs "
+        "identity B and clip_mode=delayed when clip_norm is set",
+    )
+    ap.add_argument(
         "--log-jsonl", default=None, help="append per-eval scalar records here"
     )
     ap.add_argument("--plot", default=None, help="save NMSE-vs-layer PNG here")
@@ -75,7 +83,16 @@ def main(argv=None) -> int:
 
     cfg = get_config(args.config)
     overrides = {}
-    for f in ("steps", "batch", "lr", "seed", "kernel", "vjp", "clip_mode"):
+    for f in (
+        "steps",
+        "batch",
+        "lr",
+        "seed",
+        "kernel",
+        "vjp",
+        "clip_mode",
+        "optimizer",
+    ):
         v = getattr(args, f)
         if v is not None:
             overrides[f] = v
@@ -186,8 +203,27 @@ def main(argv=None) -> int:
                 f"general-B config {cfg.name!r} runs the XLA scan + "
                 "manual reverse-scan VJP"
             )
+        if cfg.train.optimizer == "fused_adam":
+            ap.error(
+                "--optimizer=fused_adam supports the identity-B "
+                f"benchmarks only; config {cfg.name!r} has a general B"
+            )
         forward_fn, step_fn = None, None
         desc = "xla-scan + manual general-B reverse-scan vjp"
+    elif cfg.train.optimizer == "fused_adam":
+        # The fused optimizer owns the whole step (forward scan +
+        # reverse scan with in-body Adam) — exclusive with Pallas
+        # forward selection and with forcing XLA autodiff.
+        if cfg.train.vjp == "xla":
+            ap.error("--optimizer=fused_adam is a manual-VJP step; "
+                     "--vjp=xla contradicts it")
+        if cfg.train.kernel != "auto":
+            ap.error(
+                "--optimizer=fused_adam uses the XLA-scan forward; "
+                f"--kernel={cfg.train.kernel} does not apply"
+            )
+        forward_fn, step_fn = None, None
+        desc = "manual reverse-scan + fused Adam-in-backward"
     elif cfg.train.vjp == "manual":
         # The manual reverse-scan VJP replaces the whole forward+backward;
         # it is exclusive with megakernel/fused-step forward selection.

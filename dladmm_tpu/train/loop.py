@@ -434,19 +434,24 @@ def delayed_clip_by_global_norm(
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+def _lr_of(t):
+    """The TrainConfig's learning rate: a float, or the warmup+cosine
+    optax schedule — shared by _build_optimizer and the fused-Adam step
+    (train/fused_adam.py) so both optimizers see identical lr(step)."""
+    if t.lr_schedule == "cosine":
+        return optax.warmup_cosine_decay_schedule(
+            0.0, t.lr, max(1, t.steps // 20), t.steps
+        )
+    return t.lr
+
+
 def _build_optimizer(t) -> optax.GradientTransformation:
     """Adam + the TrainConfig's lr schedule and gradient clipping —
     shared by fit and fit_sharded so sharded runs get the same
     stability treatment (clip_norm exists because long runs can go
     spectrally unstable — utils/config.py). clip_mode selects exact
     ("global") vs one-step-delayed ("delayed") norm clipping."""
-    if t.lr_schedule == "cosine":
-        lr = optax.warmup_cosine_decay_schedule(
-            0.0, t.lr, max(1, t.steps // 20), t.steps
-        )
-    else:
-        lr = t.lr
-    optimizer = optax.adam(lr)
+    optimizer = optax.adam(_lr_of(t))
     clip = getattr(t, "clip_norm", None)
     if clip:
         mode = getattr(t, "clip_mode", "global")
@@ -510,28 +515,65 @@ def fit(
         if init_params is not None
         else init_dladmm_params(A, B, K=p.K, beta=p.beta, dtype=dtype)
     )
-    optimizer = _build_optimizer(t)
-
     layer_weights = _layer_weights(t.layer_loss, p.K, dtype)
 
     compute_dtype = (
         jnp.bfloat16 if t.compute_dtype == "bfloat16" else None
     )
-    train_step = make_train_step(
-        optimizer,
-        A,
-        t.batch,
-        p.sparsity_x,
-        p.sparsity_e,
-        B,
-        layer_weights,
-        step_fn,
-        forward_fn,
-        compute_dtype=compute_dtype,
-        freeze=tuple(t.freeze),
-        vjp=getattr(t, "vjp", "auto"),
-    )
-    state = make_train_state(params, optimizer, compute_dtype)
+    if getattr(t, "optimizer", "adam") == "fused_adam":
+        # Adam applied per layer inside the reverse-scan backward
+        # (train/fused_adam.py); same lr schedule/clip semantics as the
+        # optax chain with clip_mode="delayed".
+        if B is not None:
+            raise ValueError(
+                "optimizer='fused_adam' supports identity B only "
+                "(SURVEY.md §2 pt 4); use optimizer='adam'"
+            )
+        if step_fn is not None or forward_fn is not None:
+            raise ValueError(
+                "optimizer='fused_adam' owns the forward (XLA scan) — "
+                "pass step_fn=forward_fn=None"
+            )
+        if t.clip_norm and getattr(t, "clip_mode", "global") != "delayed":
+            raise ValueError(
+                "optimizer='fused_adam' needs clip_mode='delayed' (or "
+                "clip_norm=None): exact global clipping is two-pass and "
+                "cannot run inside the backward sweep"
+            )
+        from dladmm_tpu.train.fused_adam import (
+            make_fused_adam_state,
+            make_fused_adam_step,
+        )
+
+        train_step = make_fused_adam_step(
+            A,
+            t.batch,
+            p.sparsity_x,
+            p.sparsity_e,
+            layer_weights,
+            _lr_of(t),
+            clip_norm=t.clip_norm,
+            compute_dtype=compute_dtype,
+            freeze=tuple(t.freeze),
+        )
+        state = make_fused_adam_state(params, t.clip_norm, compute_dtype)
+    else:
+        optimizer = _build_optimizer(t)
+        train_step = make_train_step(
+            optimizer,
+            A,
+            t.batch,
+            p.sparsity_x,
+            p.sparsity_e,
+            B,
+            layer_weights,
+            step_fn,
+            forward_fn,
+            compute_dtype=compute_dtype,
+            freeze=tuple(t.freeze),
+            vjp=getattr(t, "vjp", "auto"),
+        )
+        state = make_train_state(params, optimizer, compute_dtype)
     eval_data = make_batch(
         k_eval, A, t.eval_batch, p.sparsity_x, p.sparsity_e, dtype, B
     )

@@ -66,6 +66,14 @@ class TrainConfig:
     # (ops/unroll_vjp.py) when it applies (B=I, final-layer loss),
     # "xla" = XLA autodiff, "manual" = require the manual path.
     vjp: str = "auto"
+    # "adam" = optax Adam (+ clip per clip_mode); "fused_adam" = the
+    # Adam update runs INSIDE the manual reverse-scan backward, one
+    # layer at a time (train/fused_adam.py) — the grad stacks never
+    # round-trip HBM and the optimizer traffic overlaps the backward's
+    # MXU work. Requires identity B, the XLA-scan forward, and (if
+    # clip_norm is set) clip_mode="delayed" (exact global clipping is
+    # two-pass and cannot fuse).
+    optimizer: str = "adam"
 
 
 @dataclasses.dataclass(frozen=True)
