@@ -10,10 +10,15 @@ K=20, bf16 manual VJP) under three optimizers:
   * delayed  — delayed_clip_by_global_norm(1.0) + Adam (single-pass:
                step i scales by step i-1's norm, so XLA can fuse the
                norm reduction into the Adam sweep)
+  * fused        — Adam applied per layer INSIDE the reverse-scan
+                   backward with the delayed clip (train/fused_adam.py):
+                   grad stacks never round-trip HBM, optimizer traffic
+                   overlaps the backward's MXU work
+  * fused_noclip — same without clipping (the headline-comparable arm)
 
-Prints one JSON line with the three calibrated step times. Quality
-parity is measured separately via `python -m dladmm_tpu.run
---clip-mode=delayed` at both synthetic presets.
+Prints one JSON line with the calibrated step times. Quality parity is
+measured separately via `python -m dladmm_tpu.run --clip-mode=delayed`
+/ `--optimizer=fused_adam` at both synthetic presets.
 """
 
 from __future__ import annotations
@@ -74,6 +79,31 @@ def main():
             return new_state
 
         t = time_chained(one, make_train_state(params, opt, bf))
+        out[f"step_ms_{name}"] = round(t * 1e3, 3)
+        print(f"  {name}: {t * 1e3:.3f} ms", flush=True)
+
+    from dladmm_tpu.train.fused_adam import (
+        make_fused_adam_state,
+        make_fused_adam_step,
+    )
+
+    for name, clip in (("fused", 1.0), ("fused_noclip", None)):
+        fstep = make_fused_adam_step(
+            A,
+            lr=1e-3,
+            clip_norm=clip,
+            compute_dtype=bf,
+            donate=False,
+            from_batch=True,
+        )
+
+        def one_fused(state, _step=fstep):
+            new_state, _ = _step(state, data)
+            return new_state
+
+        t = time_chained(
+            one_fused, make_fused_adam_state(params, clip, bf)
+        )
         out[f"step_ms_{name}"] = round(t * 1e3, 3)
         print(f"  {name}: {t * 1e3:.3f} ms", flush=True)
     print(json.dumps(out), flush=True)
