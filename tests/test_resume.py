@@ -90,3 +90,34 @@ def test_sharded_resume_bf16(tmp_path):
     )
     for got, want in zip(params_resumed, params_full):
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_fused_adam_resume_reproduces_cold_run(tmp_path):
+    """The fused optimizer's state (moments + count + delayed-clip
+    prev_norm) round-trips through checkpoint/resume: interrupted and
+    cold runs converge to the same params."""
+    import dataclasses
+
+    from dladmm_tpu.train.loop import fit
+
+    def cfg(steps):
+        c = _cfg(steps)
+        return dataclasses.replace(
+            c,
+            train=dataclasses.replace(
+                c.train,
+                optimizer="fused_adam",
+                clip_norm=1.0,
+                clip_mode="delayed",
+            ),
+        )
+
+    params_full, _ = fit(cfg(20))
+    ck = str(tmp_path / "ck_fused")
+    fit(cfg(10), ckpt_dir=ck)
+    params_resumed, _ = fit(cfg(20), ckpt_dir=ck, resume=True)
+
+    for got, want in zip(params_resumed, params_full):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-8
+        )
