@@ -417,6 +417,98 @@ def make_dp_train_step(
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
+def make_dp_fused_adam_step(
+    mesh,
+    layer_weights=None,
+    lr=1e-3,
+    clip_norm=None,
+    compute_dtype=None,
+    freeze: tuple = (),
+    donate: bool = True,
+):
+    """Data-parallel fused-Adam step (optimizer='fused_adam' on a
+    model_axis==1 mesh): the per-shard body is EXACTLY the single-chip
+    fused step's update core (train/fused_adam.py — Adam applied per
+    layer inside the reverse-scan backward), with each layer's
+    gradients allreduced over 'data' as the reverse scan produces them.
+    That turns the DP gradient sync from one bulk allreduce after the
+    backward into K per-layer psums, each free to overlap the NEXT
+    layer's backward matmuls — and the grad stacks still never
+    round-trip HBM.
+
+    Step signature matches the other sharded steps: (state, A, batch)
+    with state from train.fused_adam.make_fused_adam_state. Parity with
+    the single-device fused step is pinned by tests/test_distributed.py.
+    """
+    from dladmm_tpu.train.fused_adam import (
+        FusedAdamState,
+        make_fused_update_core,
+    )
+    from dladmm_tpu.train.loop import TrainState
+
+    D = mesh.shape[DATA_AXIS]
+    core = make_fused_update_core(
+        layer_weights,
+        lr,
+        clip_norm=clip_norm,
+        compute_dtype=compute_dtype,
+        freeze=freeze,
+        # Global loss/grads of the mean over the global batch: psum of
+        # the local-shard means / D (same algebra as make_dp_train_step).
+        grad_reduce=lambda v: jax.lax.psum(v, DATA_AXIS) / D,
+        loss_reduce=lambda l: jax.lax.psum(l, DATA_AXIS) / D,
+    )
+
+    rep = jax.tree.map(lambda _: P(), param_specs("replicated_w2"))
+    # The compute-copy output is None in fp32 runs — its out_spec must
+    # then be a bare prefix (an empty subtree has no leaves to spec).
+    cp_spec = P() if compute_dtype is None else rep
+    # check_vma=False for the same reason as make_dp_train_step: the
+    # body is the single-chip scan; all values are either replicated
+    # (params/moments) or made replicated by the explicit psums.
+    body = jax.shard_map(
+        core,
+        mesh=mesh,
+        in_specs=(rep, rep, rep, rep, P(), P(), P(), B_SPEC, X_SPEC,
+                  Z_SPEC),
+        out_specs=(P(), rep, rep, rep, cp_spec, P()),
+        check_vma=False,
+    )
+
+    def step(state, A, batch):
+        params_c = (
+            state.compute_params
+            if state.compute_params is not None
+            else state.params
+        )
+        b = (
+            batch.b
+            if compute_dtype is None
+            else batch.b.astype(compute_dtype)
+        )
+        A_c = A if compute_dtype is None else A.astype(compute_dtype)
+        opt = state.opt_state
+        loss, new_p, new_mu, new_nu, new_cp, new_norm = body(
+            state.params,
+            params_c,
+            opt.mu,
+            opt.nu,
+            opt.count,
+            opt.prev_norm,
+            A_c,
+            b,
+            batch.x_star,
+            batch.e_star,
+        )
+        new_opt = FusedAdamState(new_mu, new_nu, opt.count + 1, new_norm)
+        return (
+            TrainState(new_p, new_opt, state.step + 1, new_cp),
+            loss,
+        )
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
 def make_sharded_train_step(
     optimizer: optax.GradientTransformation,
     mesh,

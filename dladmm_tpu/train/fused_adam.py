@@ -32,7 +32,10 @@ tests/test_fused_adam.py.
 Scope: B = I (both reference benchmarks; SURVEY.md §2 pt 4), the
 XLA-scan forward (the flagship regime, where the Pallas backward is
 VMEM-infeasible), final-layer or deep-supervision loss, bf16 or fp32,
-freeze. Step-time A/B vs the unfused optimizer: scripts/ab_clip.py.
+freeze. The body is factored as ``make_fused_update_core`` so the DP
+fast path can shard_map the identical step with a per-layer gradient
+psum (parallel/collectives.make_dp_fused_adam_step). Step-time A/B vs
+the unfused optimizer: scripts/ab_clip.py.
 """
 
 from __future__ import annotations
@@ -70,9 +73,8 @@ def make_fused_adam_state(
 ) -> TrainState:
     """TrainState whose opt_state is FusedAdamState (mirrors
     make_train_state + optimizer.init for the fused step)."""
-    zeros = jax.tree.map(jnp.zeros_like, params)
     opt = FusedAdamState(
-        mu=zeros,
+        mu=jax.tree.map(jnp.zeros_like, params),
         nu=jax.tree.map(jnp.zeros_like, params),
         count=jnp.zeros((), jnp.int32),
         # Matches DelayedClipState init: step 0's scale is exactly 1.
@@ -88,11 +90,7 @@ def make_fused_adam_state(
     return TrainState(params, opt, jnp.zeros((), jnp.int32), cp)
 
 
-def make_fused_adam_step(
-    A: Array,
-    batch: Optional[int] = None,
-    sparsity_x: float = 0.1,
-    sparsity_e: float = 0.1,
+def make_fused_update_core(
     layer_weights: Optional[Array] = None,
     lr: Union[float, Callable] = 1e-3,
     b1: float = 0.9,
@@ -101,51 +99,34 @@ def make_fused_adam_step(
     clip_norm: Optional[float] = None,
     compute_dtype=None,
     freeze: tuple = (),
-    donate: bool = True,
-    from_batch: bool = False,
+    grad_reduce: Optional[Callable] = None,
+    loss_reduce: Optional[Callable] = None,
 ):
-    """Build the fused train step: data -> forward scan -> reverse scan
-    with per-layer (grads -> delayed clip -> Adam) applied in-body.
+    """The fused step body, free of jit/state packing so it can run
+    either directly (make_fused_adam_step) or per-shard inside a
+    shard_map (the DP fast path, where ``grad_reduce`` psums each
+    layer's gradients over the data axis before the Adam update and
+    ``loss_reduce`` psums the local-batch loss).
 
-    lr: float or an optax schedule (called with the update count, like
-    optax.scale_by_learning_rate). clip_norm=None disables clipping
-    (scale is the constant 1). With from_batch=True the step signature
-    is (state, SyntheticBatch) instead of (state, key) — the benching
-    variant (scripts/ab_clip.py).
+    Returns core(params32, params_c, mu, nu, count, prev_norm, A_c,
+    b_c, x_star, e_star) -> (loss, new_p, new_mu, new_nu, new_cp,
+    new_norm) with new_cp=None when compute_dtype is None.
     """
-    A_c = A if compute_dtype is None else A.astype(compute_dtype)
 
-    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
-    def step(state: TrainState, key_or_data):
-        if from_batch:
-            data = key_or_data
-        else:
-            data = make_batch(
-                key_or_data, A, batch, sparsity_x, sparsity_e, A.dtype
-            )
-        params_c = (
-            state.compute_params
-            if state.compute_params is not None
-            else state.params
-        )
-        b_c = (
-            data.b
-            if compute_dtype is None
-            else data.b.astype(compute_dtype)
-        )
-
+    def core(params32, params_c, mu, nu, count, prev_norm, A_c, b_c,
+             x_star, e_star):
         (xK, zK, lamK, AxK), resid = _fwd_scan(params_c, A_c, b_c)
 
         # Loss cotangents via jax.vjp of the tiny output->loss closure:
-        # bit-identical to what value_and_grad(loss_fn) seeds into the
+        # identical ops to what value_and_grad(loss_fn) seeds into the
         # custom_vjp backward on the unfused path (targets stay in data
         # dtype — under bf16 compute the diffs promote to fp32 exactly
         # as in loss_fn).
         if layer_weights is None:
 
             def out_loss(x, z):
-                return jnp.mean((x - data.x_star) ** 2) + jnp.mean(
-                    (z - data.e_star) ** 2
+                return jnp.mean((x - x_star) ** 2) + jnp.mean(
+                    (z - e_star) ** 2
                 )
 
             loss, pull = jax.vjp(out_loss, xK, zK)
@@ -156,27 +137,28 @@ def make_fused_adam_step(
 
             def out_loss(tx_, tz_):
                 return weighted_trajectory_mse(
-                    tx_, tz_, data.x_star, data.e_star, layer_weights
+                    tx_, tz_, x_star, e_star, layer_weights
                 )
 
             loss, pull = jax.vjp(out_loss, tx, tz)
             traj_ct = pull(jnp.ones_like(loss))
             gx = jnp.zeros_like(xK)
             gz = jnp.zeros_like(zK)
+        if loss_reduce is not None:
+            loss = loss_reduce(loss)
 
-        opt = state.opt_state
-        count_inc = opt.count + 1
+        count_inc = count + 1
         # Same expressions as optax.scale_by_adam's bias_correction
         # (python-float ** int32 -> f32) and scale_by_learning_rate.
         bc1 = 1.0 - b1**count_inc
         bc2 = 1.0 - b2**count_inc
-        lr_t = lr(opt.count) if callable(lr) else lr
+        lr_t = lr(count) if callable(lr) else lr
         step_size = -1.0 * lr_t
         if clip_norm is None:
             scale = jnp.float32(1.0)
         else:
             scale = jnp.minimum(
-                1.0, clip_norm / jnp.maximum(opt.prev_norm, 1e-16)
+                1.0, clip_norm / jnp.maximum(prev_norm, 1e-16)
             )
 
         frozen = tuple(
@@ -213,21 +195,25 @@ def make_fused_adam_step(
                         for i, g in enumerate(gp)
                     )
                 )
+            if grad_reduce is not None:
+                # DP: allreduce this layer's grads over the data axis
+                # so every shard applies the identical update.
+                gp = jax.tree.map(grad_reduce, gp)
             # fp32 norm accumulation (see module docstring).
             sq = sq + sum(
                 jnp.sum(jnp.square(g.astype(jnp.float32))) for g in gp
             )
-            new = [adam_leaf(g, m_, v_, p_) for g, m_, v_, p_ in
-                   zip(gp, m, v, p32)]
+            new = [
+                adam_leaf(g, m_, v_, p_)
+                for g, m_, v_, p_ in zip(gp, m, v, p32)
+            ]
             p1 = type(p32)(*(t[0] for t in new))
             m1 = type(p32)(*(t[1] for t in new))
             v1 = type(p32)(*(t[2] for t in new))
             ys = (p1, m1, v1)
             if compute_dtype is not None:
                 ys = ys + (
-                    jax.tree.map(
-                        lambda t: t.astype(compute_dtype), p1
-                    ),
+                    jax.tree.map(lambda t: t.astype(compute_dtype), p1),
                 )
             return cts + (sq,), ys
 
@@ -240,7 +226,7 @@ def make_fused_adam_step(
         )
         # Per-layer xs: residuals, compute-dtype params (backward
         # algebra), fp32 masters + moments (optimizer).
-        xs = (resid, params_c, state.params, opt.mu, opt.nu)
+        xs = (resid, params_c, params32, mu, nu)
         if traj_ct is not None:
             xs = xs + (traj_ct,)
         out_carry, ys = jax.lax.scan(body, init, xs, reverse=True)
@@ -250,7 +236,73 @@ def make_fused_adam_step(
             new_cp = None
         else:
             new_p, new_mu, new_nu, new_cp = ys
-        new_opt = FusedAdamState(new_mu, new_nu, count_inc, new_norm)
+        return loss, new_p, new_mu, new_nu, new_cp, new_norm
+
+    return core
+
+
+def make_fused_adam_step(
+    A: Array,
+    batch: Optional[int] = None,
+    sparsity_x: float = 0.1,
+    sparsity_e: float = 0.1,
+    layer_weights: Optional[Array] = None,
+    lr: Union[float, Callable] = 1e-3,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    clip_norm: Optional[float] = None,
+    compute_dtype=None,
+    freeze: tuple = (),
+    donate: bool = True,
+    from_batch: bool = False,
+):
+    """Build the fused train step: data -> forward scan -> reverse scan
+    with per-layer (grads -> delayed clip -> Adam) applied in-body.
+
+    lr: float or an optax schedule (called with the update count, like
+    optax.scale_by_learning_rate). clip_norm=None disables clipping
+    (scale is the constant 1). With from_batch=True the step signature
+    is (state, SyntheticBatch) instead of (state, key) — the benching
+    variant (scripts/ab_clip.py).
+    """
+    A_c = A if compute_dtype is None else A.astype(compute_dtype)
+    core = make_fused_update_core(
+        layer_weights, lr, b1, b2, eps, clip_norm, compute_dtype, freeze
+    )
+
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def step(state: TrainState, key_or_data):
+        if from_batch:
+            data = key_or_data
+        else:
+            data = make_batch(
+                key_or_data, A, batch, sparsity_x, sparsity_e, A.dtype
+            )
+        params_c = (
+            state.compute_params
+            if state.compute_params is not None
+            else state.params
+        )
+        b_c = (
+            data.b
+            if compute_dtype is None
+            else data.b.astype(compute_dtype)
+        )
+        opt = state.opt_state
+        loss, new_p, new_mu, new_nu, new_cp, new_norm = core(
+            state.params,
+            params_c,
+            opt.mu,
+            opt.nu,
+            opt.count,
+            opt.prev_norm,
+            A_c,
+            b_c,
+            data.x_star,
+            data.e_star,
+        )
+        new_opt = FusedAdamState(new_mu, new_nu, opt.count + 1, new_norm)
         return (
             TrainState(new_p, new_opt, state.step + 1, new_cp),
             loss,
@@ -262,5 +314,6 @@ def make_fused_adam_step(
 __all__ = [
     "FusedAdamState",
     "make_fused_adam_state",
+    "make_fused_update_core",
     "make_fused_adam_step",
 ]

@@ -849,6 +849,26 @@ def fit_sharded(
     layout = getattr(s, "layout", "sharded_w2")
     vjp = getattr(t, "vjp", "auto")
     compute_dtype = jnp.bfloat16 if t.compute_dtype == "bfloat16" else None
+    fused = getattr(t, "optimizer", "adam") == "fused_adam"
+    if fused:
+        if s.model_axis > 1:
+            raise ValueError(
+                "optimizer='fused_adam' shards over 'data' only: the TP "
+                "step's weights live sharded over 'model', but the fused "
+                "reverse scan applies Adam to the full layer slice. Use "
+                "optimizer='adam' with model_axis > 1."
+            )
+        if t.clip_norm and getattr(t, "clip_mode", "global") != "delayed":
+            raise ValueError(
+                "optimizer='fused_adam' needs clip_mode='delayed' (or "
+                "clip_norm=None): exact global clipping is two-pass and "
+                "cannot run inside the backward sweep"
+            )
+        if t.kernel != "auto":
+            raise ValueError(
+                "optimizer='fused_adam' uses the XLA-scan forward; "
+                f"kernel={t.kernel!r} does not apply (leave it 'auto')"
+            )
     if s.model_axis > 1:
         bad = {
             k: v
@@ -907,13 +927,28 @@ def fit_sharded(
         init_dladmm_params(A, K=p.K, beta=p.beta, dtype=dtype),
         sh["params"],
     )
-    optimizer = _build_optimizer(t)  # honors lr_schedule + clip_norm
     layer_weights = _layer_weights(t.layer_loss, p.K, jnp.float32)
-    state = make_train_state(params, optimizer, compute_dtype)
     A_c = A if compute_dtype is None else A.astype(compute_dtype)
 
     n_data_chips = mesh.shape[pmesh.DATA_AXIS]
-    if s.model_axis == 1:
+    if fused:
+        from dladmm_tpu.parallel.collectives import (
+            make_dp_fused_adam_step,
+        )
+        from dladmm_tpu.train.fused_adam import make_fused_adam_state
+
+        state = make_fused_adam_state(params, t.clip_norm, compute_dtype)
+        train_step = make_dp_fused_adam_step(
+            mesh,
+            layer_weights,
+            _lr_of(t),
+            clip_norm=t.clip_norm,
+            compute_dtype=compute_dtype,
+            freeze=tuple(t.freeze),
+        )
+    elif s.model_axis == 1:
+        optimizer = _build_optimizer(t)  # honors lr_schedule + clip_norm
+        state = make_train_state(params, optimizer, compute_dtype)
         forward_fn = step_fn = None
         if vjp == "auto" or (vjp not in ("manual", "xla")):
             from dladmm_tpu.models.api import select_forward
@@ -937,6 +972,8 @@ def fit_sharded(
             vjp,
         )
     else:
+        optimizer = _build_optimizer(t)  # honors lr_schedule + clip_norm
+        state = make_train_state(params, optimizer, compute_dtype)
         train_step = make_sharded_train_step(
             optimizer,
             mesh,

@@ -398,3 +398,132 @@ def test_fit_sharded_rejects_kernel_with_tp():
     )
     with pytest.raises(ValueError, match="model_axis"):
         fit_sharded(cfg)
+
+
+def test_dp_fused_adam_matches_single_device():
+    """DP fused-Adam step (per-layer grad psum inside the reverse scan,
+    Adam applied in-body) == the single-device fused step on the same
+    global batch, fp32 and with a binding delayed clip."""
+    from dladmm_tpu.parallel.collectives import make_dp_fused_adam_step
+    from dladmm_tpu.train.fused_adam import (
+        make_fused_adam_state,
+        make_fused_adam_step,
+    )
+
+    mesh = pmesh.make_mesh(data=8, model=1)
+    A, data, params = _setup()
+    clip = 1e-3  # binds, so the prev_norm carry is exercised too
+
+    ref_step = make_fused_adam_step(
+        A, lr=1e-3, clip_norm=clip, donate=False, from_batch=True
+    )
+    ref_state = make_fused_adam_state(params, clip)
+    for _ in range(3):
+        ref_state, ref_loss = ref_step(ref_state, data)
+
+    params_s, A_s, batch_s = _put(mesh, data, params, A, "sharded_w2")
+    dp_state = make_fused_adam_state(params_s, clip)
+    dp_step = make_dp_fused_adam_step(mesh, lr=1e-3, clip_norm=clip,
+                                      donate=False)
+    for _ in range(3):
+        dp_state, dp_loss = dp_step(dp_state, A_s, batch_s)
+
+    assert float(dp_state.opt_state.prev_norm) > clip
+    np.testing.assert_allclose(float(dp_loss), float(ref_loss), rtol=1e-5)
+    for name, got, want in zip(
+        params._fields, dp_state.params, ref_state.params
+    ):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=5e-5, atol=1e-6,
+            err_msg=name,
+        )
+
+
+def test_dp_fused_adam_bf16_deep_supervision():
+    """The DP fused step composes with bf16 mixed precision and the
+    trajectory loss; parity with the single-device fused step."""
+    from dladmm_tpu.parallel.collectives import make_dp_fused_adam_step
+    from dladmm_tpu.train.fused_adam import (
+        make_fused_adam_state,
+        make_fused_adam_step,
+    )
+
+    mesh = pmesh.make_mesh(data=8, model=1)
+    A, data, params = _setup(K=4)
+    bf = jnp.bfloat16
+    lw = jnp.full((4,), 0.25, jnp.float32)
+
+    ref_step = make_fused_adam_step(
+        A, layer_weights=lw, lr=1e-3, compute_dtype=bf, donate=False,
+        from_batch=True,
+    )
+    ref_state = make_fused_adam_state(params, None, bf)
+    for _ in range(2):
+        ref_state, ref_loss = ref_step(ref_state, data)
+
+    params_s, A_s, batch_s = _put(mesh, data, params, A, "sharded_w2")
+    dp_state = make_fused_adam_state(params_s, None, bf)
+    dp_step = make_dp_fused_adam_step(
+        mesh, layer_weights=lw, lr=1e-3, compute_dtype=bf, donate=False
+    )
+    for _ in range(2):
+        dp_state, dp_loss = dp_step(dp_state, A_s, batch_s)
+
+    np.testing.assert_allclose(float(dp_loss), float(ref_loss),
+                               rtol=2e-2)
+    # bf16 grads near zero are sign-unstable under the psum/D reorder,
+    # and Adam's first updates are ~lr*sign(g) — so individual params
+    # can differ by up to ~2*lr*steps; the bound here is that, not a
+    # tolerance guess.
+    for name, got, want in zip(
+        params._fields, dp_state.params, ref_state.params
+    ):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-3, atol=5e-3,
+            err_msg=name,
+        )
+    assert dp_state.compute_params.W1.dtype == bf
+
+
+def test_fit_sharded_fused_adam_end_to_end():
+    """fit_sharded routes optimizer='fused_adam' to the DP fused step on
+    a data-only mesh; TP meshes and non-delayed clip are rejected."""
+    import dataclasses
+
+    from dladmm_tpu.train.loop import fit_sharded
+    from dladmm_tpu.utils.config import (
+        Config,
+        ProblemConfig,
+        ShardingConfig,
+        TrainConfig,
+    )
+
+    cfg = Config(
+        name="dp_fused",
+        problem=ProblemConfig(m=16, n=64, K=4),
+        train=TrainConfig(
+            batch=16,
+            steps=4,
+            eval_every=4,
+            eval_batch=16,
+            lr=1e-3,
+            clip_norm=1.0,
+            clip_mode="delayed",
+            optimizer="fused_adam",
+        ),
+        sharding=ShardingConfig(data_axis=8, model_axis=1),
+    )
+    _, history = fit_sharded(cfg)
+    assert history and np.isfinite(history[-1]["nmse_db"])
+
+    tp = dataclasses.replace(
+        cfg, sharding=ShardingConfig(data_axis=4, model_axis=2)
+    )
+    with pytest.raises(ValueError, match="data"):
+        fit_sharded(tp)
+
+    bad_clip = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, clip_mode="global")
+    )
+    with pytest.raises(ValueError, match="delayed"):
+        fit_sharded(bad_clip)
