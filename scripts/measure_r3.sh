@@ -23,3 +23,9 @@ timeout 1200 python -m dladmm_tpu.bench.serving --dtype=both \
 #    clip might actually bind; ~3 min of device time)
 timeout 2400 python -m dladmm_tpu.run --config=synthetic_large \
   --clip-mode=delayed --log-jsonl=bench_out/synthetic_large_delayed_r3.jsonl
+
+# 5) synthetic_large quality with the fused optimizer (same recipe
+#    through train/fused_adam.py — must reproduce phase 4's numbers)
+timeout 2400 python -m dladmm_tpu.run --config=synthetic_large \
+  --clip-mode=delayed --optimizer=fused_adam \
+  --log-jsonl=bench_out/synthetic_large_fused_r3.jsonl
