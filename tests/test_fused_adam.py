@@ -228,3 +228,35 @@ def test_fit_fused_integration_and_validation():
     )
     with pytest.raises(ValueError, match="identity B"):
         fit(bad_b)
+
+
+def test_bwd_layer_skips_data_cotangents_without_acc():
+    """The fused path calls bwd_layer with acc=None — the gA outer
+    product (the only extra contraction on the identity-B path) must
+    not be traced at all, not merely DCE'd later."""
+    from dladmm_tpu.ops.reference import LayerParams
+    from dladmm_tpu.ops.unroll_vjp import bwd_layer
+
+    m, n, S_ = 8, 16, 4
+    p = LayerParams(
+        jnp.ones((n, m)), jnp.ones((m, m)), jnp.ones((n,)),
+        jnp.ones((m,)), jnp.ones(()),
+    )
+    r = tuple(
+        jnp.ones(s)
+        for s in [(S_, m), (S_, m), (S_, m), (S_, n), (S_, m), (S_, m)]
+    )
+    cts = (
+        jnp.ones((S_, n)), jnp.ones((S_, m)), jnp.ones((S_, m)),
+        jnp.ones((S_, m)),
+    )
+    A = jnp.ones((m, n))
+    b = jnp.ones((S_, m))
+    acc = (jnp.zeros((m, n)), jnp.zeros((S_, m)))
+    n_with = repr(
+        jax.make_jaxpr(lambda: bwd_layer(p, r, cts, A, b, None, acc))()
+    ).count("dot_general")
+    n_without = repr(
+        jax.make_jaxpr(lambda: bwd_layer(p, r, cts, A, b, None, None))()
+    ).count("dot_general")
+    assert n_with == 6 and n_without == 5, (n_with, n_without)
