@@ -15,6 +15,9 @@ K=20, bf16 manual VJP) under three optimizers:
                    grad stacks never round-trip HBM, optimizer traffic
                    overlaps the backward's MXU work
   * fused_noclip — same without clipping (the headline-comparable arm)
+  * delayed_ds / fused_ds — the SHIPPED flagship configuration (deep
+                   supervision + clip 1.0), unfused delayed vs fused:
+                   the pair that decides the preset default
 
 Prints one JSON line with the calibrated step times. Quality parity is
 measured separately via `python -m dladmm_tpu.run --clip-mode=delayed`
@@ -87,9 +90,15 @@ def main():
         make_fused_adam_step,
     )
 
-    for name, clip in (("fused", 1.0), ("fused_noclip", None)):
+    lw = jnp.full((K,), 1.0 / K, jnp.float32)
+    for name, clip, weights in (
+        ("fused", 1.0, None),
+        ("fused_noclip", None, None),
+        ("fused_ds", 1.0, lw),
+    ):
         fstep = make_fused_adam_step(
             A,
+            layer_weights=weights,
             lr=1e-3,
             clip_norm=clip,
             compute_dtype=bf,
@@ -106,6 +115,23 @@ def main():
         )
         out[f"step_ms_{name}"] = round(t * 1e3, 3)
         print(f"  {name}: {t * 1e3:.3f} ms", flush=True)
+
+    # The unfused shipped configuration (deep supervision + delayed
+    # clip) — the direct comparator for fused_ds.
+    ds_opt = optax.chain(
+        delayed_clip_by_global_norm(1.0), optax.adam(1e-3)
+    )
+    ds_step = make_train_step_from_batch(
+        ds_opt, A, layer_weights=lw, compute_dtype=bf, donate=False
+    )
+
+    def one_ds(state):
+        new_state, _ = ds_step(state, data)
+        return new_state
+
+    t = time_chained(one_ds, make_train_state(params, ds_opt, bf))
+    out["step_ms_delayed_ds"] = round(t * 1e3, 3)
+    print(f"  delayed_ds: {t * 1e3:.3f} ms", flush=True)
     print(json.dumps(out), flush=True)
 
 

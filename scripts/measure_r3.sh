@@ -10,7 +10,7 @@ cd "$(dirname "$0")/.."
 timeout 600 python scripts/verify_tpu.py || exit 1
 
 # 1) optimizer clip A/B (VERDICT r2 #4): none / global / delayed
-timeout 900 python scripts/ab_clip.py | tee bench_out/ab_clip_r3.json
+timeout 1500 python scripts/ab_clip.py | tee bench_out/ab_clip_r3.json
 
 # 2) driver bench contract: must finish well under the ~10 min capture
 time timeout 600 python bench.py
