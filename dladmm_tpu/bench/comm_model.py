@@ -97,6 +97,33 @@ def analyze(name, m, n, K, S, data_axis, model_axis, layout, hosts=1,
         )
         if t_total
         else 1.0,
+    } | (
+        _fused_dp_fields(K, t_compute, t_ici, t_dp)
+        if model_axis == 1
+        else {}
+    )
+
+
+def _fused_dp_fields(K, t_compute, t_ici, t_dp):
+    """optimizer='fused_adam' on a DP mesh splits the bulk gradient
+    allreduce into K per-layer psums issued as the reverse scan produces
+    each layer's grads — layer k's psum overlaps layer k-1's backward
+    compute BY PROGRAM STRUCTURE (no reliance on XLA hoisting a
+    post-backward collective). Exposed comm = the final layer's psum
+    plus any per-layer psum time not covered by one layer of backward
+    compute. This gives a structural (not aspirational) overlap bound
+    between the no-overlap and perfect-overlap brackets."""
+    t_dp_layer = t_dp / K
+    t_layer_bwd = (t_compute * 2 / 3) / K  # bwd is ~2/3 of step FLOPs
+    exposed = t_dp_layer + (K - 1) * max(0.0, t_dp_layer - t_layer_bwd)
+    denom = t_compute + t_ici + exposed
+    return {
+        "dp_fused_exposed_ms": round(exposed * 1e3, 3),
+        "scaling_efficiency_fused_pipelined": round(
+            t_compute / denom, 3
+        )
+        if denom
+        else 1.0,
     }
 
 
