@@ -32,6 +32,13 @@ def main(argv=None) -> int:
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--compute-dtype", default="float32")
     ap.add_argument("--layout", default="sharded_w2")
+    ap.add_argument(
+        "--optimizer",
+        default="adam",
+        choices=["adam", "fused_adam"],
+        help="fused_adam exercises the DP fused step cross-process "
+        "(per-layer grad psums over DCN) on a data-only mesh",
+    )
     args = ap.parse_args(argv)
 
     # Set (or raise) the virtual-device-count flag without duplicating
@@ -65,6 +72,10 @@ def main(argv=None) -> int:
     )
 
     n_local = jax.local_device_count()
+    fused = args.optimizer == "fused_adam"
+    # The fused optimizer shards over 'data' only (train/fused_adam.py);
+    # the default sim keeps model_axis=2 so both axes are exercised.
+    model_axis = 1 if fused else 2
     cfg = Config(
         name="multihost_sim",
         problem=ProblemConfig(m=16, n=32, K=4),
@@ -75,10 +86,13 @@ def main(argv=None) -> int:
             eval_every=max(1, args.steps // 3),
             eval_batch=16 * args.num_processes,
             compute_dtype=args.compute_dtype,
+            optimizer=args.optimizer,
+            clip_norm=1.0 if fused else None,
+            clip_mode="delayed" if fused else "global",
         ),
         sharding=ShardingConfig(
-            data_axis=(n_local * args.num_processes) // 2,
-            model_axis=2,
+            data_axis=(n_local * args.num_processes) // model_axis,
+            model_axis=model_axis,
             multihost=True,
             layout=args.layout,
         ),

@@ -83,3 +83,18 @@ def test_two_process_multihost_checkpoint_restore(tmp_path):
     )
     assert resumed["param_checksum"] == cold["param_checksum"]
     assert resumed["nmse_db_last"] == cold["nmse_db_last"]
+
+
+@pytest.mark.slow
+def test_two_process_multihost_fused_adam():
+    """The round-3 fused optimizer cross-process: the per-layer grad
+    psums inside the reverse scan run over the real 2-process (DCN-like
+    Gloo) mesh, bf16, data-only 8x1; training improves NMSE."""
+    result = _run_pair(
+        _free_port(),
+        ["--steps=40", "--optimizer=fused_adam",
+         "--compute-dtype=bfloat16"],
+    )
+    assert result["processes"] == 2
+    assert result["mesh"] == "8x1"
+    assert result["improved"], result
