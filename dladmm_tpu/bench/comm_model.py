@@ -106,24 +106,39 @@ def analyze(name, m, n, K, S, data_axis, model_axis, layout, hosts=1,
 
 def _fused_dp_fields(K, t_compute, t_ici, t_dp):
     """optimizer='fused_adam' on a DP mesh splits the bulk gradient
-    allreduce into K per-layer psums issued as the reverse scan produces
-    each layer's grads — layer k's psum overlaps layer k-1's backward
-    compute BY PROGRAM STRUCTURE (no reliance on XLA hoisting a
-    post-backward collective). Exposed comm = the final layer's psum
-    plus any per-layer psum time not covered by one layer of backward
-    compute. This gives a structural (not aspirational) overlap bound
-    between the no-overlap and perfect-overlap brackets."""
+    allreduce into K per-layer psums issued inside the reverse scan.
+
+    Overlap is NOT automatic: the psums live inside a lax.scan (an XLA
+    while loop), and a loop iteration completes before the next begins,
+    so without compiler help the K collectives serialize — exposed comm
+    equals the bulk allreduce's (same bytes) plus K-1 extra collective
+    setup latencies. What the program structure DOES buy is
+    pipelinability: the fused step keeps every optimizer-side value
+    (params/moments/norm partial) out of the scan CARRY (they are ys
+    outputs), so layer k's psum result is never an input to iteration
+    k-1 — exactly the dependence shape XLA's while-loop collective
+    pipeliner (collective_pipeliner on TPU) needs to hoist a
+    collective's start into the previous iteration. The
+    "..._if_pipelined" fields model that best case (only the final
+    layer's psum exposed); the honest claim is the bracket
+    [no_overlap, if_pipelined], to be replaced by a real multi-chip
+    measurement when hardware allows."""
     t_dp_layer = t_dp / K
     t_layer_bwd = (t_compute * 2 / 3) / K  # bwd is ~2/3 of step FLOPs
     exposed = t_dp_layer + (K - 1) * max(0.0, t_dp_layer - t_layer_bwd)
     denom = t_compute + t_ici + exposed
     return {
-        "dp_fused_exposed_ms": round(exposed * 1e3, 3),
-        "scaling_efficiency_fused_pipelined": round(
+        "dp_fused_exposed_ms_if_pipelined": round(exposed * 1e3, 3),
+        "scaling_efficiency_fused_if_pipelined": round(
             t_compute / denom, 3
         )
         if denom
         else 1.0,
+        "fused_pipelining_note": (
+            "requires XLA while-loop collective pipelining; "
+            "serialized fallback = the no_overlap row + (K-1) "
+            "collective latencies"
+        ),
     }
 
 

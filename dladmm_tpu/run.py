@@ -185,6 +185,11 @@ def main(argv=None) -> int:
                 "--greedy supports the identity-B benchmarks only; "
                 f"train config {cfg.name!r} without it"
             )
+        if cfg.train.optimizer == "fused_adam":
+            ap.error(
+                "--greedy has no fused-optimizer implementation (stage "
+                "losses run the optax chain); drop --optimizer=fused_adam"
+            )
         from dladmm_tpu.train.loop import fit_greedy
 
         print("kernel path: greedy (per-stage auto-selection)", flush=True)

@@ -178,7 +178,7 @@ def make_fused_update_core(
             return p1, m1, v1
 
         def body(carry, xs):
-            gx, gz, glam, gAx, sq = carry
+            gx, gz, glam, gAx = carry
             if traj_ct is None:
                 r, pc, p32, m, v = xs
             else:
@@ -199,10 +199,6 @@ def make_fused_update_core(
                 # DP: allreduce this layer's grads over the data axis
                 # so every shard applies the identical update.
                 gp = jax.tree.map(grad_reduce, gp)
-            # fp32 norm accumulation (see module docstring).
-            sq = sq + sum(
-                jnp.sum(jnp.square(g.astype(jnp.float32))) for g in gp
-            )
             new = [
                 adam_leaf(g, m_, v_, p_)
                 for g, m_, v_, p_ in zip(gp, m, v, p32)
@@ -215,22 +211,39 @@ def make_fused_update_core(
                 ys = ys + (
                     jax.tree.map(lambda t: t.astype(compute_dtype), p1),
                 )
-            return cts + (sq,), ys
+            if clip_norm is not None:
+                # Per-layer fp32 sum-of-squares for NEXT step's delayed
+                # clip scale — emitted as a ys OUTPUT, not a carry: the
+                # scan's loop-carried chain stays free of the (possibly
+                # psum'd) grads, so nothing optimizer-side sits on the
+                # next iteration's critical path and XLA's while-loop
+                # collective pipeliner is free to overlap the DP psums.
+                # Skipped entirely when there is no clip to feed.
+                ys = ys + (
+                    sum(
+                        jnp.sum(jnp.square(g.astype(jnp.float32)))
+                        for g in gp
+                    ),
+                )
+            return cts, ys
 
         init = (
             gx,
             gz,
             jnp.zeros_like(lamK),
             jnp.zeros_like(AxK),
-            jnp.float32(0.0),
         )
         # Per-layer xs: residuals, compute-dtype params (backward
         # algebra), fp32 masters + moments (optimizer).
         xs = (resid, params_c, params32, mu, nu)
         if traj_ct is not None:
             xs = xs + (traj_ct,)
-        out_carry, ys = jax.lax.scan(body, init, xs, reverse=True)
-        new_norm = jnp.sqrt(out_carry[4])
+        _, ys = jax.lax.scan(body, init, xs, reverse=True)
+        if clip_norm is not None:
+            new_norm = jnp.sqrt(jnp.sum(ys[-1]))
+            ys = ys[:-1]
+        else:
+            new_norm = prev_norm
         if compute_dtype is None:
             new_p, new_mu, new_nu = ys
             new_cp = None

@@ -540,6 +540,11 @@ def fit(
                 "clip_norm=None): exact global clipping is two-pass and "
                 "cannot run inside the backward sweep"
             )
+        if getattr(t, "vjp", "auto") == "xla":
+            raise ValueError(
+                "optimizer='fused_adam' IS a manual-backward step; "
+                "vjp='xla' contradicts it (use optimizer='adam')"
+            )
         from dladmm_tpu.train.fused_adam import (
             make_fused_adam_state,
             make_fused_adam_step,
@@ -868,6 +873,11 @@ def fit_sharded(
             raise ValueError(
                 "optimizer='fused_adam' uses the XLA-scan forward; "
                 f"kernel={t.kernel!r} does not apply (leave it 'auto')"
+            )
+        if vjp == "xla":
+            raise ValueError(
+                "optimizer='fused_adam' IS a manual-backward step; "
+                "vjp='xla' contradicts it (use optimizer='adam')"
             )
     if s.model_axis > 1:
         bad = {
