@@ -208,13 +208,13 @@ def main(argv=None) -> int:
                 f"general-B config {cfg.name!r} runs the XLA scan + "
                 "manual reverse-scan VJP"
             )
-        if cfg.train.optimizer == "fused_adam":
-            ap.error(
-                "--optimizer=fused_adam supports the identity-B "
-                f"benchmarks only; config {cfg.name!r} has a general B"
-            )
+        if cfg.train.vjp == "xla" and cfg.train.optimizer == "fused_adam":
+            ap.error("--optimizer=fused_adam is a manual-VJP step; "
+                     "--vjp=xla contradicts it")
         forward_fn, step_fn = None, None
         desc = "xla-scan + manual general-B reverse-scan vjp"
+        if cfg.train.optimizer == "fused_adam":
+            desc += " + fused Adam-in-backward"
     elif cfg.train.optimizer == "fused_adam":
         # The fused optimizer owns the whole step (forward scan +
         # reverse scan with in-body Adam) — exclusive with Pallas

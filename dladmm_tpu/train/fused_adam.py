@@ -29,13 +29,14 @@ scale by exactly 1.0, so they agree to within compiler-reassociation
 ulps (XLA fuses the two program shapes differently) — pinned by
 tests/test_fused_adam.py.
 
-Scope: B = I (both reference benchmarks; SURVEY.md §2 pt 4), the
-XLA-scan forward (the flagship regime, where the Pallas backward is
-VMEM-infeasible), final-layer or deep-supervision loss, bf16 or fp32,
-freeze. The body is factored as ``make_fused_update_core`` so the DP
-fast path can shard_map the identical step with a per-layer gradient
-psum (parallel/collectives.make_dp_fused_adam_step). Step-time A/B vs
-the unfused optimizer: scripts/ab_clip.py.
+Scope: the XLA-scan forward (the flagship regime, where the Pallas
+backward is VMEM-infeasible), B = I or a general z-dictionary B,
+final-layer or deep-supervision loss, bf16 or fp32, freeze. The body
+is factored as ``make_fused_update_core`` so the DP fast path can
+shard_map the identical step with a per-layer gradient psum
+(parallel/collectives.make_dp_fused_adam_step — identity-B, like all
+sharded paths). Step-time A/B vs the unfused optimizer:
+scripts/ab_clip.py.
 """
 
 from __future__ import annotations
@@ -49,7 +50,11 @@ from jax import Array
 
 from dladmm_tpu.data.synthetic import make_batch
 from dladmm_tpu.models.unroll import DLADMMParams
-from dladmm_tpu.ops.unroll_vjp import _fwd_scan, bwd_layer
+from dladmm_tpu.ops.unroll_vjp import (
+    _fwd_scan,
+    _fwd_scan_general,
+    bwd_layer,
+)
 from dladmm_tpu.train.loop import (
     TrainState,
     weighted_trajectory_mse,
@@ -101,12 +106,16 @@ def make_fused_update_core(
     freeze: tuple = (),
     grad_reduce: Optional[Callable] = None,
     loss_reduce: Optional[Callable] = None,
+    B: Optional[Array] = None,
 ):
     """The fused step body, free of jit/state packing so it can run
     either directly (make_fused_adam_step) or per-shard inside a
     shard_map (the DP fast path, where ``grad_reduce`` psums each
     layer's gradients over the data axis before the Adam update and
-    ``loss_reduce`` psums the local-batch loss).
+    ``loss_reduce`` psums the local-batch loss). B: the general
+    z-dictionary (pre-cast to compute_dtype), or None for the B = I
+    fast path — the general branch carries (x, z, lam, Ax, Bz) and the
+    backward gains bwd_layer's two Bᵀ contractions per layer.
 
     Returns core(params32, params_c, mu, nu, count, prev_norm, A_c,
     b_c, x_star, e_star) -> (loss, new_p, new_mu, new_nu, new_cp,
@@ -115,7 +124,12 @@ def make_fused_update_core(
 
     def core(params32, params_c, mu, nu, count, prev_norm, A_c, b_c,
              x_star, e_star):
-        (xK, zK, lamK, AxK), resid = _fwd_scan(params_c, A_c, b_c)
+        if B is None:
+            (xK, zK, lamK, AxK), resid = _fwd_scan(params_c, A_c, b_c)
+        else:
+            (xK, zK, lamK, AxK, _), resid = _fwd_scan_general(
+                params_c, A_c, B, b_c
+            )
 
         # Loss cotangents via jax.vjp of the tiny output->loss closure:
         # identical ops to what value_and_grad(loss_fn) seeds into the
@@ -133,7 +147,11 @@ def make_fused_update_core(
             gx, gz = pull(jnp.ones_like(loss))
             traj_ct = None
         else:
-            tx, tz = resid[3], resid[4]  # per-layer x/z output stacks
+            # Per-layer x/z output stacks (resid layouts differ: the
+            # general tuple carries Bz stacks too).
+            tx, tz = (
+                (resid[3], resid[4]) if B is None else (resid[4], resid[5])
+            )
 
             def out_loss(tx_, tz_):
                 return weighted_trajectory_mse(
@@ -186,7 +204,7 @@ def make_fused_update_core(
                 gx = gx + ctx
                 gz = gz + ctz
             cts, gp, _ = bwd_layer(
-                pc, r, (gx, gz, glam, gAx), A_c, b_c, None, None
+                pc, r, (gx, gz, glam, gAx), A_c, b_c, B, None
             )
             if frozen:
                 gp = type(gp)(
@@ -269,6 +287,7 @@ def make_fused_adam_step(
     freeze: tuple = (),
     donate: bool = True,
     from_batch: bool = False,
+    B: Optional[Array] = None,
 ):
     """Build the fused train step: data -> forward scan -> reverse scan
     with per-layer (grads -> delayed clip -> Adam) applied in-body.
@@ -277,11 +296,16 @@ def make_fused_adam_step(
     optax.scale_by_learning_rate). clip_norm=None disables clipping
     (scale is the constant 1). With from_batch=True the step signature
     is (state, SyntheticBatch) instead of (state, key) — the benching
-    variant (scripts/ab_clip.py).
+    variant (scripts/ab_clip.py). B: general z-dictionary (m, d), or
+    None for the identity-B fast path.
     """
     A_c = A if compute_dtype is None else A.astype(compute_dtype)
+    B_c = (
+        B if B is None or compute_dtype is None else B.astype(compute_dtype)
+    )
     core = make_fused_update_core(
-        layer_weights, lr, b1, b2, eps, clip_norm, compute_dtype, freeze
+        layer_weights, lr, b1, b2, eps, clip_norm, compute_dtype, freeze,
+        B=B_c,
     )
 
     @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
@@ -290,7 +314,7 @@ def make_fused_adam_step(
             data = key_or_data
         else:
             data = make_batch(
-                key_or_data, A, batch, sparsity_x, sparsity_e, A.dtype
+                key_or_data, A, batch, sparsity_x, sparsity_e, A.dtype, B
             )
         params_c = (
             state.compute_params

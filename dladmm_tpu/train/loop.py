@@ -523,12 +523,8 @@ def fit(
     if getattr(t, "optimizer", "adam") == "fused_adam":
         # Adam applied per layer inside the reverse-scan backward
         # (train/fused_adam.py); same lr schedule/clip semantics as the
-        # optax chain with clip_mode="delayed".
-        if B is not None:
-            raise ValueError(
-                "optimizer='fused_adam' supports identity B only "
-                "(SURVEY.md §2 pt 4); use optimizer='adam'"
-            )
+        # optax chain with clip_mode="delayed". General B composes (the
+        # core swaps in the (x,z,lam,Ax,Bz) forward + Bᵀ backward).
         if step_fn is not None or forward_fn is not None:
             raise ValueError(
                 "optimizer='fused_adam' owns the forward (XLA scan) — "
@@ -560,6 +556,7 @@ def fit(
             clip_norm=t.clip_norm,
             compute_dtype=compute_dtype,
             freeze=tuple(t.freeze),
+            B=B,
         )
         state = make_fused_adam_state(params, t.clip_norm, compute_dtype)
     else:

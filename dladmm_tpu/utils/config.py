@@ -70,9 +70,10 @@ class TrainConfig:
     # Adam update runs INSIDE the manual reverse-scan backward, one
     # layer at a time (train/fused_adam.py) — the grad stacks never
     # round-trip HBM and the optimizer traffic overlaps the backward's
-    # MXU work. Requires identity B, the XLA-scan forward, and (if
-    # clip_norm is set) clip_mode="delayed" (exact global clipping is
-    # two-pass and cannot fuse).
+    # MXU work. Composes with general B, bf16, deep supervision,
+    # freeze, and DP sharding; requires the XLA-scan forward
+    # (kernel="auto") and, if clip_norm is set, clip_mode="delayed"
+    # (exact global clipping is two-pass and cannot fuse).
     optimizer: str = "adam"
 
 

@@ -21,7 +21,6 @@ from dladmm_tpu.train.fused_adam import (
 from dladmm_tpu.train.loop import (
     delayed_clip_by_global_norm,
     make_train_state,
-    make_train_step,
     make_train_step_from_batch,
 )
 
@@ -222,12 +221,54 @@ def test_fit_fused_integration_and_validation():
     with pytest.raises(ValueError, match="delayed"):
         fit(bad_clip)
 
-    bad_b = dataclasses.replace(
+    # General B composes with the fused optimizer (the core swaps in
+    # the (x,z,lam,Ax,Bz) forward + B^T backward).
+    gen_b = dataclasses.replace(
         cfg,
-        problem=dataclasses.replace(cfg.problem, identity_B=False),
+        problem=dataclasses.replace(
+            cfg.problem, identity_B=False, d=M + 4
+        ),
     )
-    with pytest.raises(ValueError, match="identity B"):
-        fit(bad_b)
+    _, gh = fit(gen_b)
+    assert gh and np.isfinite(gh[-1]["nmse_db"])
+
+
+def test_fused_general_b_matches_optax():
+    """General-B fused step vs the optax chain over the manual
+    general-B VJP (dladmm_unroll_manual_general): same grads, same
+    Adam math — parity to fp tolerance, d != m, final-layer loss."""
+    d = M + 8
+    key = jax.random.PRNGKey(7)
+    kA, kB, kb = jax.random.split(key, 3)
+    A = make_dictionary(kA, M, N)
+    B = make_dictionary(kB, M, d)
+    params = init_dladmm_params(A, B, K=K)
+    data = make_batch(kb, A, S, B=B)
+    clip = 1e9
+
+    ref_step = make_train_step_from_batch(
+        _opt(clip), A, B=B, vjp="manual", donate=False
+    )
+    ref_state, ref_loss = _run(
+        ref_step, make_train_state(params, _opt(clip)), data, steps=4
+    )
+    fused_step = make_fused_adam_step(
+        A, lr=LR, clip_norm=clip, donate=False, from_batch=True, B=B
+    )
+    fused_state, fused_loss = _run(
+        fused_step, make_fused_adam_state(params, clip), data, steps=4
+    )
+    np.testing.assert_allclose(
+        float(ref_loss), float(fused_loss), rtol=1e-6
+    )
+    for name, r, f in zip(
+        ref_state.params._fields, ref_state.params, fused_state.params
+    ):
+        np.testing.assert_allclose(
+            np.asarray(r), np.asarray(f), rtol=2e-6, atol=3e-8,
+            err_msg=name,
+        )
+    assert fused_state.params.W2.shape == (K, d, M)
 
 
 def test_bwd_layer_skips_data_cotangents_without_acc():
