@@ -267,6 +267,30 @@ def main() -> int:
         )
         detail["deep_supervised_step_ms"] = round(t_ds * 1e3, 3)
 
+    def phase_fused_adam():
+        # Round-3 fused Adam-in-backward (train/fused_adam.py): the
+        # headline-comparable arm (final-layer loss, no clip, bf16) —
+        # Adam applied per layer inside the reverse scan, so the driver
+        # artifact tracks the fused step round-over-round. Full A/B
+        # incl. clip/deep-supervision arms: scripts/ab_clip.py.
+        from dladmm_tpu.train.fused_adam import (
+            make_fused_adam_state,
+            make_fused_adam_step,
+        )
+
+        fstep = make_fused_adam_step(
+            A, lr=1e-3, compute_dtype=bf, donate=False, from_batch=True
+        )
+
+        def fused_step(state):
+            new_state, _ = fstep(state, data)
+            return new_state
+
+        t_f = _chained_train_time(
+            fused_step, make_fused_adam_state(params, None, bf)
+        )
+        detail["fused_adam_step_ms"] = round(t_f * 1e3, 3)
+
     def phase_paper_config():
         # The paper's own config (A 250x500, batch 64, K=15) through the
         # full-Pallas training step (fwd+bwd megakernels).
@@ -333,6 +357,7 @@ def main() -> int:
         )
 
     run_phase("deep_supervised", phase_deep_supervised)
+    run_phase("fused_adam", phase_fused_adam)
     run_phase("paper_config", phase_paper_config)
 
     if skipped:
