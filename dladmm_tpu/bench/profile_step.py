@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import optax
 
 
-def capture(steps: int = 12):
+def capture(steps: int = 12, which: str = "shipped"):
     from dladmm_tpu.data.synthetic import make_batch, make_dictionary
     from dladmm_tpu.models.unroll import init_dladmm_params
     from dladmm_tpu.train.loop import (
@@ -40,6 +40,33 @@ def capture(steps: int = 12):
     data = make_batch(kb, A, S)
     opt = optax.adam(1e-3)
     bf = jnp.bfloat16
+    if which == "fused":
+        # Round-3 fused Adam-in-backward: profiling it shows whether
+        # the per-layer moment/master traffic actually overlaps the
+        # backward contractions (the claim behind DESIGN.md §3's
+        # optimizer paragraph).
+        from dladmm_tpu.train.fused_adam import (
+            make_fused_adam_state,
+            make_fused_adam_step,
+        )
+
+        fstep = make_fused_adam_step(
+            A, lr=1e-3, compute_dtype=bf, donate=False, from_batch=True
+        )
+
+        @jax.jit
+        def run(state):
+            state = jax.lax.fori_loop(
+                0, steps, lambda _, s: fstep(s, data)[0], state
+            )
+            return jnp.sum(state.params.beta)
+
+        state0 = make_fused_adam_state(params, None, bf)
+        float(run(state0))  # compile + warm
+        tmpdir = tempfile.mkdtemp(prefix="dladmm_prof_")
+        with profiling.trace(tmpdir):
+            float(run(state0))
+        return tmpdir, steps
     # The SHIPPED mixed-precision step (same as bench.py's fast path).
     shipped = make_train_step_from_batch(
         opt, A, vjp="manual", compute_dtype=bf, donate=False
@@ -104,8 +131,15 @@ def summarize(trace_dir: str, steps: int, top: int = 20):
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--out", default=None)
+    ap.add_argument(
+        "--step",
+        default="shipped",
+        choices=["shipped", "fused"],
+        help="which flagship step to profile (fused = Adam inside the "
+        "reverse scan, train/fused_adam.py)",
+    )
     args = ap.parse_args(argv)
-    trace_dir, steps = capture()
+    trace_dir, steps = capture(which=args.step)
     result = summarize(trace_dir, steps)
     out = json.dumps(result, indent=2)
     print(out)
