@@ -29,3 +29,10 @@ timeout 2400 python -m dladmm_tpu.run --config=synthetic_large \
 timeout 2400 python -m dladmm_tpu.run --config=synthetic_large \
   --clip-mode=delayed --optimizer=fused_adam \
   --log-jsonl=bench_out/synthetic_large_fused_r3.jsonl
+
+# 6) kernel-level profiles: shipped vs fused flagship step (does the
+#    optimizer traffic actually overlap the backward contractions?)
+timeout 600 python -m dladmm_tpu.bench.profile_step \
+  --out bench_out/profile_flagship_r3.json
+timeout 600 python -m dladmm_tpu.bench.profile_step --step=fused \
+  --out bench_out/profile_fused_r3.json
