@@ -52,7 +52,7 @@ def main(argv=None) -> int:
         default=None,
         help="fused_adam runs the Adam update inside the reverse-scan "
         "backward, layer by layer (train/fused_adam.py); needs "
-        "identity B and clip_mode=delayed when clip_norm is set",
+        "clip_mode=delayed when clip_norm is set",
     )
     ap.add_argument(
         "--log-jsonl", default=None, help="append per-eval scalar records here"
