@@ -122,6 +122,48 @@ def test_comm_model_cli(tmp_path, capsys):
     assert not layouts["replicated_w2"]["fits_16gb_chip"]
 
 
+def test_comm_model_fused_dp_fields():
+    """DP-only rows carry the fused-optimizer overlap bracket: the
+    if-pipelined exposure is one layer's psum when per-layer backward
+    compute covers a psum, and the efficiency stays within
+    (no_overlap, 1]."""
+    import json
+
+    from dladmm_tpu.bench.comm_model import _fused_dp_fields, main
+
+    # Comm-bound arithmetic check: t_dp/K <= t_layer_bwd -> exposed is
+    # exactly one layer's psum.
+    f = _fused_dp_fields(K=10, t_compute=0.030, t_ici=0.0, t_dp=0.010)
+    assert f["dp_fused_exposed_ms_if_pipelined"] == 1.0  # 10ms/10
+    # Psum slower than a layer's compute -> the uncovered remainder of
+    # all K-1 earlier psums is exposed too.
+    g = _fused_dp_fields(K=10, t_compute=0.003, t_ici=0.0, t_dp=0.010)
+    assert g["dp_fused_exposed_ms_if_pipelined"] > 1.0
+    # Full artifact: fused fields appear exactly on DP-only meshes.
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        main(["--config", "multihost"])
+    rows = json.loads(buf.getvalue())
+    assert all("scaling_efficiency_fused_if_pipelined" in r for r in rows)
+    for r in rows:
+        assert (
+            r["scaling_efficiency_no_overlap"]
+            < r["scaling_efficiency_fused_if_pipelined"]
+            <= 1.0
+        )
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        main(["--config", "tp_large"])
+    tp_rows = json.loads(buf.getvalue())
+    assert all(
+        "scaling_efficiency_fused_if_pipelined" not in r for r in tp_rows
+    )
+
+
 def test_time_chained_noise_fallback(monkeypatch):
     """ADVICE r1: a noisy (non-positive-slope) calibration must fall
     back to the uncalibrated long-chain estimate with a warning instead
