@@ -298,6 +298,89 @@ def make_sharded_eval(mesh, layout: str = "sharded_w2"):
     return evaluate
 
 
+def make_dp_eval(mesh, B=None):
+    """jitted (params, A, batch) -> metrics dict (same keys as
+    make_sharded_eval) for DATA-PARALLEL-ONLY meshes, supporting the
+    general z-dictionary B that the TP eval's collective algebra cannot
+    (its identity-B recurrence hardcodes z in R^m).
+
+    Each data shard runs the full single-device forward (XLA scan,
+    general B) on its local batch and emits per-sample sums; the psum
+    over 'data' assembles the exact metrics.core semantics — batch-mean
+    of per-sample NMSE ratios with degenerate-support samples excluded,
+    batch-mean relative residual ||Ax + Bz - b|| / ||b||. Parity with
+    train.loop.evaluate is pinned by tests/test_distributed.py.
+    """
+    from dladmm_tpu.models.unroll import dladmm_forward
+
+    def local_eval(params, A, b, x_star, z_star):
+        (x, z, _), (tx, tz, _) = dladmm_forward(
+            params, A, b, B=B, capture_trajectory=True
+        )
+        # Per-layer x-side NMSE curve: (K, S_local) local ratio sums.
+        f32 = lambda v: v.astype(jnp.float32)
+        num_x = jnp.sum((f32(tx) - f32(x_star)) ** 2, axis=-1)  # (K, S)
+        den_x = jnp.sum(f32(x_star) ** 2, axis=-1)  # (S,)
+        valid = den_x > _EPS
+        ratio = jnp.where(valid, num_x / jnp.maximum(den_x, _EPS), 0.0)
+        sum_ratio = jax.lax.psum(jnp.sum(ratio, axis=-1), DATA_AXIS)  # (K,)
+        n_valid = jax.lax.psum(jnp.sum(valid), DATA_AXIS)
+        curve = jnp.where(
+            n_valid > 0,
+            10.0 * jnp.log10(sum_ratio / jnp.maximum(n_valid, 1) + _EPS),
+            jnp.nan,
+        )
+        # z-side final-layer NMSE (z_star is (S, d) under general B).
+        num_z = jnp.sum((f32(z) - f32(z_star)) ** 2, axis=-1)
+        den_z = jnp.sum(f32(z_star) ** 2, axis=-1)
+        valid_z = den_z > _EPS
+        ratio_z = jnp.where(valid_z, num_z / jnp.maximum(den_z, _EPS), 0.0)
+        sum_rz = jax.lax.psum(jnp.sum(ratio_z), DATA_AXIS)
+        n_valid_z = jax.lax.psum(jnp.sum(valid_z), DATA_AXIS)
+        nmse_z = jnp.where(
+            n_valid_z > 0,
+            10.0 * jnp.log10(sum_rz / jnp.maximum(n_valid_z, 1) + _EPS),
+            jnp.nan,
+        )
+        # Relative constraint residual at the final layer.
+        Bz = f32(z) if B is None else f32(z) @ f32(B).T
+        r = jnp.linalg.norm(f32(x) @ f32(A).T + Bz - f32(b), axis=-1)
+        rel = r / jnp.maximum(jnp.linalg.norm(f32(b), axis=-1), _EPS)
+        S_total = jax.lax.psum(
+            jnp.asarray(b.shape[0], jnp.float32), DATA_AXIS
+        )
+        residual = jax.lax.psum(jnp.sum(rel), DATA_AXIS) / S_total
+        return {
+            "nmse_db": curve[-1],
+            "nmse_db_z": nmse_z,
+            "residual": residual,
+            "nmse_curve_db": curve,
+        }
+
+    rep = jax.tree.map(lambda _: P(), param_specs("replicated_w2"))
+    # check_vma=False for the same reason as make_dp_train_step: the
+    # body is the single-chip scan; outputs are made replicated by the
+    # explicit psums (parity with evaluate() pins correctness).
+    fn = jax.shard_map(
+        local_eval,
+        mesh=mesh,
+        in_specs=(rep, P(), B_SPEC, X_SPEC, Z_SPEC),
+        out_specs={
+            "nmse_db": P(),
+            "nmse_db_z": P(),
+            "residual": P(),
+            "nmse_curve_db": P(),
+        },
+        check_vma=False,
+    )
+
+    @jax.jit
+    def evaluate(params, A, batch):
+        return fn(params, A, batch.b, batch.x_star, batch.e_star)
+
+    return evaluate
+
+
 def _mixed_precision_inputs(state, batch, compute_dtype):
     """(loss params, observations) for the step: the persistent sharded
     compute-dtype copy + cast batch under mixed precision, the fp32
@@ -346,6 +429,7 @@ def make_dp_train_step(
     forward_fn=None,
     vjp: str = "auto",
     donate: bool = True,
+    B=None,
 ):
     """Data-parallel-only train step (model_axis == 1) that composes the
     ENTIRE single-chip perf stack inside shard_map (VERDICT r1 #2): the
@@ -356,8 +440,16 @@ def make_dp_train_step(
     (whose transpose is the gradient allreduce, inserted by shard_map's
     replication tracking for the replicated params).
 
+    B: the general z-dictionary (m, d), pre-cast to the compute dtype,
+    or None for the B = I benchmark fast path. Since DP shards only the
+    batch, the general recurrence is embarrassingly parallel here: the
+    per-shard loss routes through loss_fn's general-B manual VJP and
+    the same loss psum is the only collective. (The TP layouts remain
+    identity-B-only — their collective algebra assumes z lives in R^m.)
+
     Parity with the single-device global-batch step is pinned by
-    tests/test_distributed.py::test_dp_fast_path_matches_single_device.
+    tests/test_distributed.py::test_dp_fast_path_matches_single_device
+    (identity B) and ::test_dp_general_b_matches_single_device.
     """
     from dladmm_tpu.train.loop import loss_fn
 
@@ -372,11 +464,11 @@ def make_dp_train_step(
                 b,
                 x_star,
                 e_star,
-                None,
+                B,  # closed-over, replicated (data-parallel only)
                 layer_weights,
                 step_fn,
                 forward_fn,
-                None,  # params/A/b arrive pre-cast for mixed precision
+                None,  # params/A/b/B arrive pre-cast for mixed precision
                 vjp,
             )
 
@@ -425,6 +517,7 @@ def make_dp_fused_adam_step(
     compute_dtype=None,
     freeze: tuple = (),
     donate: bool = True,
+    B=None,
 ):
     """Data-parallel fused-Adam step (optimizer='fused_adam' on a
     model_axis==1 mesh): the per-shard body is EXACTLY the single-chip
@@ -437,8 +530,11 @@ def make_dp_fused_adam_step(
     round-trip HBM.
 
     Step signature matches the other sharded steps: (state, A, batch)
-    with state from train.fused_adam.make_fused_adam_state. Parity with
-    the single-device fused step is pinned by tests/test_distributed.py.
+    with state from train.fused_adam.make_fused_adam_state. B: general
+    z-dictionary (m, d) pre-cast to the compute dtype, or None for the
+    B = I fast path (the core swaps in the general forward/backward —
+    see train/fused_adam.py). Parity with the single-device fused step
+    is pinned by tests/test_distributed.py.
     """
     from dladmm_tpu.train.fused_adam import (
         FusedAdamState,
@@ -457,6 +553,7 @@ def make_dp_fused_adam_step(
         # the local-shard means / D (same algebra as make_dp_train_step).
         grad_reduce=lambda v: jax.lax.psum(v, DATA_AXIS) / D,
         loss_reduce=lambda l: jax.lax.psum(l, DATA_AXIS) / D,
+        B=B,  # closed-over, replicated (data-parallel only)
     )
 
     rep = jax.tree.map(lambda _: P(), param_specs("replicated_w2"))

@@ -126,10 +126,11 @@ def per_chip_bytes(
     moments = 2 * params
     copy = 0.0 if compute_dtype_bytes is None else p_elems * cb
     A_bytes = m * n / T * cb + (m * n / T * dtype_bytes if cb != dtype_bytes else 0)
-    # Forward carry + per-layer residual stacks (see docstring).
-    carry = S_l * (n / T + 3 * m) * cb
-    acts = carry + K * S_l * (n / T + 5 * m) * cb
-    batch_bytes = S_l * (m + m) * cb + S_l * n / T * cb  # b, e*, x* shards
+    # Forward carry + per-layer residual stacks (see docstring). The
+    # z stream lives in R^d (= R^m for the identity-B benchmarks).
+    carry = S_l * (n / T + 2 * m + d) * cb
+    acts = carry + K * S_l * (n / T + 4 * m + d) * cb
+    batch_bytes = S_l * (m + d) * cb + S_l * n / T * cb  # b, z*, x* shards
     return MemoryBreakdown(
         params=params,
         opt_moments=moments,
@@ -153,11 +154,13 @@ def audit_or_raise(
     hbm_bytes: float = DEFAULT_HBM_BYTES,
     headroom: float = DEFAULT_HEADROOM,
     print_fn=None,
+    d=None,
 ) -> MemoryBreakdown:
     """Assert the projected per-chip footprint fits device HBM (with
     headroom for XLA temporaries); returns the breakdown. fit_sharded
     runs this BEFORE allocating, so infeasible configs fail with the
-    memory math instead of an OOM deep inside compilation."""
+    memory math instead of an OOM deep inside compilation. d: width of
+    the general z-dictionary B (defaults to m — the identity-B case)."""
     bd = per_chip_bytes(
         m,
         n,
@@ -168,6 +171,7 @@ def audit_or_raise(
         layout,
         dtype_bytes,
         compute_dtype_bytes,
+        d,
     )
     budget = hbm_bytes * (1 - headroom)
     if print_fn:

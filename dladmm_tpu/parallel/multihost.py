@@ -58,6 +58,7 @@ def host_local_batch(
     sparsity_x: float = 0.1,
     sparsity_e: float = 0.1,
     dtype=jnp.float32,
+    B=None,
 ) -> SyntheticBatch:
     """Build this host's slice of a deterministic global batch and
     assemble globally-sharded arrays (SURVEY.md §9.4:
@@ -65,7 +66,8 @@ def host_local_batch(
 
     Every host derives the SAME per-host key split from the global key,
     then generates only its own shard — identical global data to the
-    single-host run, with no cross-host data motion.
+    single-host run, with no cross-host data motion. B: the general
+    z-dictionary (m, d) — the z* shard is then (S, d) and b = Ax* + Bz*.
     """
     nproc = jax.process_count()
     pid = jax.process_index()
@@ -73,9 +75,10 @@ def host_local_batch(
         raise ValueError(f"global_batch {global_batch} % {nproc} != 0")
     local = global_batch // nproc
     local_key = jax.random.fold_in(key, pid)
-    data = make_batch(local_key, A, local, sparsity_x, sparsity_e, dtype)
+    data = make_batch(local_key, A, local, sparsity_x, sparsity_e, dtype, B)
 
     n = A.shape[1]
+    d = A.shape[0] if B is None else B.shape[1]
     specs = SyntheticBatch(
         b=P(DATA_AXIS, None),
         x_star=P(DATA_AXIS, MODEL_AXIS),
@@ -84,7 +87,7 @@ def host_local_batch(
     global_shapes = SyntheticBatch(
         b=(global_batch, A.shape[0]),
         x_star=(global_batch, n),
-        e_star=(global_batch, A.shape[0]),
+        e_star=(global_batch, d),
     )
     return SyntheticBatch(
         *(

@@ -800,7 +800,10 @@ def fit_sharded(
       * model_axis == 1 — DP fast path: the full single-chip perf stack
         (manual VJP, Pallas kernels, persistent-bf16 mixed precision)
         runs per-shard inside shard_map; only collective is the
-        loss/grad psum over 'data'.
+        loss/grad psum over 'data'. General-B configs (identity_B=False)
+        shard this way too — the per-shard loss routes through the
+        general-B manual reverse-scan VJP and eval uses make_dp_eval's
+        general forward (TP layouts remain identity-B-only).
       * model_axis > 1 — explicit-collective TP step; the weight layout
         is config.sharding.layout ("sharded_w2" default — fits the
         tp_large acceptance shape; see parallel/memory.py, which audits
@@ -830,6 +833,7 @@ def fit_sharded(
         B_SPEC,
         X_SPEC,
         Z_SPEC,
+        make_dp_eval,
         make_dp_train_step,
         make_sharded_eval,
         make_sharded_train_step,
@@ -842,11 +846,20 @@ def fit_sharded(
     )
 
     p, t, s = config.problem, config.train, config.sharding
-    if not getattr(p, "identity_B", True):
+    general_b = not getattr(p, "identity_B", True)
+    if general_b and s.model_axis > 1:
         raise ValueError(
-            "fit_sharded supports the identity-B benchmarks only (the "
-            "DP/TP collective layouts assume the z stream lives in R^m); "
-            "train general-B configs single-device via fit()"
+            "general-B configs shard over 'data' only (the TP collective "
+            "layouts assume the z stream lives in R^m — "
+            "parallel/collectives.py); use model_axis=1, or identity_B "
+            "for tensor parallelism"
+        )
+    if general_b and t.kernel != "auto":
+        raise ValueError(
+            "general-B training runs the XLA-scan forward + manual "
+            f"general-B reverse-scan VJP; kernel={t.kernel!r} does not "
+            "apply (the Pallas kernels specialize to the benchmark "
+            "B = I). Leave kernel='auto'."
         )
     layout = getattr(s, "layout", "sharded_w2")
     vjp = getattr(t, "vjp", "auto")
@@ -914,6 +927,7 @@ def fit_sharded(
         compute_dtype_bytes=2 if compute_dtype is not None else None,
         hbm_bytes=hbm_bytes or detect_hbm_bytes(),
         print_fn=print if is_primary else None,
+        d=(p.d or p.m) if general_b else None,
     )
     if s.multihost and jax.process_count() > 1:
         mesh = make_multihost_mesh(model=s.model_axis)
@@ -927,15 +941,29 @@ def fit_sharded(
         from dladmm_tpu.data.synthetic import make_dictionary
 
         A = make_dictionary(k_dict, p.m, p.n, dtype)
+    B = None
+    if general_b:
+        # Same derivation as fit(): B's key is fold_in(k_dict, 1), so a
+        # sharded general-B run sees the identical problem instance as
+        # the single-device run at the same seed (parity tests rely on
+        # this). B is replicated — DP shards only the batch.
+        from dladmm_tpu.data.synthetic import make_dictionary
+
+        B = make_dictionary(
+            jax.random.fold_in(k_dict, 1), p.m, p.d or p.m, dtype
+        )
 
     sh = pmesh.param_shardings_tp(mesh, layout)
     A = jax.device_put(A, sh["A"])
     params = jax.device_put(
-        init_dladmm_params(A, K=p.K, beta=p.beta, dtype=dtype),
+        init_dladmm_params(A, B, K=p.K, beta=p.beta, dtype=dtype),
         sh["params"],
     )
     layer_weights = _layer_weights(t.layer_loss, p.K, jnp.float32)
     A_c = A if compute_dtype is None else A.astype(compute_dtype)
+    B_c = (
+        B if B is None or compute_dtype is None else B.astype(compute_dtype)
+    )
 
     n_data_chips = mesh.shape[pmesh.DATA_AXIS]
     if fused:
@@ -952,12 +980,16 @@ def fit_sharded(
             clip_norm=t.clip_norm,
             compute_dtype=compute_dtype,
             freeze=tuple(t.freeze),
+            B=B_c,
         )
     elif s.model_axis == 1:
         optimizer = _build_optimizer(t)  # honors lr_schedule + clip_norm
         state = make_train_state(params, optimizer, compute_dtype)
         forward_fn = step_fn = None
-        if vjp == "auto" or (vjp not in ("manual", "xla")):
+        if not general_b and (vjp == "auto" or vjp not in ("manual", "xla")):
+            # General B keeps forward_fn=step_fn=None: loss_fn then
+            # routes to the general-B manual reverse-scan VJP (the
+            # Pallas kernels specialize to B = I).
             from dladmm_tpu.models.api import select_forward
 
             forward_fn, step_fn, _ = select_forward(
@@ -977,6 +1009,7 @@ def fit_sharded(
             step_fn,
             forward_fn,
             vjp,
+            B=B_c,
         )
     else:
         optimizer = _build_optimizer(t)  # honors lr_schedule + clip_norm
@@ -993,9 +1026,12 @@ def fit_sharded(
     def put_batch(key, batch_size):
         if jax.process_count() > 1:
             return host_local_batch(
-                key, A, batch_size, mesh, p.sparsity_x, p.sparsity_e, dtype
+                key, A, batch_size, mesh, p.sparsity_x, p.sparsity_e,
+                dtype, B,
             )
-        d = make_batch(key, A, batch_size, p.sparsity_x, p.sparsity_e, dtype)
+        d = make_batch(
+            key, A, batch_size, p.sparsity_x, p.sparsity_e, dtype, B
+        )
         put = lambda v, spec: jax.device_put(v, NamedSharding(mesh, spec))
         return type(d)(
             b=put(d.b, B_SPEC),
@@ -1004,7 +1040,12 @@ def fit_sharded(
         )
 
     eval_data = put_batch(k_eval, t.eval_batch)
-    eval_fn = make_sharded_eval(mesh, layout)
+    # The TP eval's gather-free collective algebra hardcodes the B = I
+    # recurrence; general-B DP runs evaluate the general forward
+    # per-shard with psum-of-local-sums instead (make_dp_eval).
+    eval_fn = (
+        make_dp_eval(mesh, B) if general_b else make_sharded_eval(mesh, layout)
+    )
     # Classical-LADMM comparison curve = the untrained LADMM-init net
     # (exact equivalence pinned by tests/test_ladmm_equivalence.py);
     # computed before any restore so resumed runs keep the baseline.

@@ -153,6 +153,25 @@ PRESETS = {
             layer_loss="uniform",
         ),
     ),
+    # General-B, DATA-PARALLEL sharded: the general recurrence is
+    # embarrassingly parallel over the batch, so fit_sharded runs the
+    # per-shard general-B manual VJP inside shard_map with one loss/grad
+    # psum (TP stays identity-B-only — its collective algebra assumes
+    # z in R^m). CPU/virtual-mesh-runnable like tp_small.
+    "general_b_dp": Config(
+        name="general_b_dp",
+        problem=ProblemConfig(m=100, n=200, K=10, identity_B=False, d=150),
+        train=TrainConfig(
+            batch=128,
+            steps=200,
+            lr=1e-3,
+            lr_schedule="cosine",
+            clip_norm=1.0,
+            eval_every=50,
+            layer_loss="uniform",
+        ),
+        sharding=ShardingConfig(data_axis=4),
+    ),
     # CPU/virtual-mesh-runnable sharded smoke config (same code path as
     # tp_large at shapes a laptop or the 8-device virtual mesh can run).
     "tp_small": Config(

@@ -527,3 +527,151 @@ def test_fit_sharded_fused_adam_end_to_end():
     )
     with pytest.raises(ValueError, match="delayed"):
         fit_sharded(bad_clip)
+
+
+def _setup_general_b(m=16, n=48, d=24, K=5, S=16, seed=0):
+    key = jax.random.PRNGKey(seed)
+    kA, kB, kd, kp = jax.random.split(key, 4)
+    A = make_dictionary(kA, m, n)
+    Bd = make_dictionary(kB, m, d)
+    data = make_batch(kd, A, S, B=Bd)
+    params = init_dladmm_params(A, Bd, K=K)
+    leaves = list(params)
+    keys = jax.random.split(kp, len(leaves))
+    params = type(params)(
+        *(p + 0.05 * jax.random.normal(k, p.shape) for k, p in zip(keys, leaves))
+    )
+    return A, Bd, data, params
+
+
+def test_dp_general_b_matches_single_device():
+    """General-B DP step: the per-shard loss routes through loss_fn's
+    general-B manual reverse-scan VJP inside shard_map and matches the
+    single-device global-batch step (the z stream lives in R^d != R^m)."""
+    mesh = pmesh.make_mesh(data=8, model=1)
+    A, Bd, data, params = _setup_general_b()
+    optimizer = optax.adam(1e-3)
+    loss_ref, grads_ref = jax.value_and_grad(loss_fn)(
+        params, A, data.b, data.x_star, data.e_star, Bd
+    )
+    upd_ref, _ = optimizer.update(grads_ref, optimizer.init(params), params)
+    params_ref = optax.apply_updates(params, upd_ref)
+
+    params_s, A_s, batch_s = _put(mesh, data, params, A, "sharded_w2")
+    state = TrainState(
+        params_s, optimizer.init(params_s), jnp.zeros((), jnp.int32)
+    )
+    step = make_dp_train_step(optimizer, mesh, donate=False, B=Bd)
+    state2, loss = step(state, A_s, batch_s)
+    np.testing.assert_allclose(float(loss), float(loss_ref), rtol=1e-5)
+    for name, got, want in zip(params._fields, state2.params, params_ref):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=5e-5, atol=1e-6,
+            err_msg=name,
+        )
+
+
+def test_dp_general_b_deep_supervision_fused_adam():
+    """General-B DP fused-Adam step (per-layer grad psum inside the
+    general reverse scan) matches the single-device fused step, with the
+    trajectory loss."""
+    from dladmm_tpu.parallel.collectives import make_dp_fused_adam_step
+    from dladmm_tpu.train.fused_adam import (
+        make_fused_adam_state,
+        make_fused_adam_step,
+    )
+
+    mesh = pmesh.make_mesh(data=4, model=1)
+    A, Bd, data, params = _setup_general_b(K=4)
+    lw = jnp.full((4,), 0.25, jnp.float32)
+
+    ref_step = make_fused_adam_step(
+        A, layer_weights=lw, lr=1e-3, clip_norm=1e-3, donate=False,
+        from_batch=True, B=Bd,
+    )
+    ref_state = make_fused_adam_state(params, 1e-3)
+    for _ in range(3):
+        ref_state, ref_loss = ref_step(ref_state, data)
+
+    params_s, A_s, batch_s = _put(mesh, data, params, A, "sharded_w2")
+    dp_state = make_fused_adam_state(params_s, 1e-3)
+    dp_step = make_dp_fused_adam_step(
+        mesh, layer_weights=lw, lr=1e-3, clip_norm=1e-3, donate=False,
+        B=Bd,
+    )
+    for _ in range(3):
+        dp_state, dp_loss = dp_step(dp_state, A_s, batch_s)
+
+    np.testing.assert_allclose(float(dp_loss), float(ref_loss), rtol=1e-5)
+    for name, got, want in zip(
+        params._fields, dp_state.params, ref_state.params
+    ):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=5e-5, atol=1e-6,
+            err_msg=name,
+        )
+
+
+def test_dp_eval_general_b_matches_single_device():
+    """make_dp_eval's psum-of-local-sums general-B metrics == the
+    single-device evaluate() (same degenerate-support guard, same
+    residual semantics)."""
+    from dladmm_tpu.parallel.collectives import make_dp_eval
+    from dladmm_tpu.train.loop import evaluate
+
+    mesh = pmesh.make_mesh(data=8, model=1)
+    A, Bd, data, params = _setup_general_b()
+    ref = evaluate(params, A, data, Bd)
+
+    params_s, A_s, batch_s = _put(mesh, data, params, A, "sharded_w2")
+    got = jax.device_get(make_dp_eval(mesh, Bd)(params_s, A_s, batch_s))
+    np.testing.assert_allclose(got["nmse_db"], ref["nmse_db"], rtol=1e-5)
+    np.testing.assert_allclose(
+        got["nmse_db_z"], ref["nmse_db_z"], rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        got["residual"], ref["residual"], rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["nmse_curve_db"]),
+        np.asarray(ref["nmse_curve_db"]),
+        rtol=1e-4, atol=1e-5,
+    )
+
+
+def test_fit_sharded_general_b_end_to_end():
+    """fit_sharded trains a general-B config on a data-only mesh end to
+    end (preset general_b_dp's path) and still rejects general-B TP."""
+    import dataclasses
+
+    from dladmm_tpu.train.loop import fit_sharded
+    from dladmm_tpu.utils.config import (
+        Config,
+        ProblemConfig,
+        ShardingConfig,
+        TrainConfig,
+    )
+
+    cfg = Config(
+        name="gb_dp",
+        problem=ProblemConfig(m=16, n=48, K=4, identity_B=False, d=24),
+        train=TrainConfig(
+            batch=16, steps=4, eval_every=4, eval_batch=16, lr=1e-3,
+            layer_loss="uniform",
+        ),
+        sharding=ShardingConfig(data_axis=4, model_axis=1),
+    )
+    _, history = fit_sharded(cfg)
+    assert history and np.isfinite(history[-1]["nmse_db"])
+
+    tp = dataclasses.replace(
+        cfg, sharding=ShardingConfig(data_axis=2, model_axis=2)
+    )
+    with pytest.raises(ValueError, match="identity_B"):
+        fit_sharded(tp)
+
+    kern = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, kernel="megakernel")
+    )
+    with pytest.raises(ValueError, match="kernel"):
+        fit_sharded(kern)

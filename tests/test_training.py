@@ -338,7 +338,11 @@ def test_fit_general_B_config_beats_ladmm():
     assert np.isfinite(last["residual"])
 
 
-def test_fit_sharded_and_greedy_reject_general_B():
+def test_greedy_and_tp_reject_general_B():
+    """fit_greedy stays identity-B-only; fit_sharded now accepts
+    general-B on DATA-only meshes (tests/test_distributed.py) but still
+    rejects general-B tensor parallelism (the TP collective algebra
+    assumes z in R^m)."""
     import dataclasses
 
     import pytest
@@ -350,9 +354,9 @@ def test_fit_sharded_and_greedy_reject_general_B():
     with pytest.raises(ValueError, match="identity-B"):
         fit_greedy(cfg)
     cfg2 = dataclasses.replace(
-        cfg, sharding=ShardingConfig(data_axis=2, model_axis=1)
+        cfg, sharding=ShardingConfig(data_axis=2, model_axis=2)
     )
-    with pytest.raises(ValueError, match="identity-B"):
+    with pytest.raises(ValueError, match="identity_B"):
         fit_sharded(cfg2)
 
 
