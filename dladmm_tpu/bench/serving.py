@@ -39,7 +39,17 @@ def measure(m=250, n=500, K=15,
     kA, kb = jax.random.split(key)
     A = make_dictionary(kA, m, n)
     params = init_dladmm_params(A, K=K)
-    if dtype is not None:  # serve.py's bf16 serving mode
+    quantized = dtype == "int8"
+    if quantized:  # serve.py's int8 serving mode (ops/quantized.py)
+        from dladmm_tpu.ops.quantized import (
+            dladmm_forward_int8,
+            quantize_params,
+        )
+
+        qp, qd = quantize_params(params, A)
+        int8_fn = jax.jit(lambda b: dladmm_forward_int8(qp, qd, b)[:2])
+        dtype = None
+    elif dtype is not None:  # serve.py's bf16 serving mode
         params = jax.tree.map(lambda v: v.astype(dtype), params)
         A = A.astype(dtype)
 
@@ -54,8 +64,11 @@ def measure(m=250, n=500, K=15,
     for S in buckets:
         data = make_batch(kb, A.astype(jnp.float32), S)
         data = type(data)(*(v.astype(A.dtype) for v in data))
-        forward_fn, desc = resolve_forward(m, n, m, S, kernel=kernel)
-        fn = lambda b: forward_fn(params, A, b)[:2]
+        if quantized:
+            fn, desc = int8_fn, "int8-scan"
+        else:
+            forward_fn, desc = resolve_forward(m, n, m, S, kernel=kernel)
+            fn = lambda b: forward_fn(params, A, b)[:2]
         print(f"bucket {S} ({desc})...", file=sys.stderr, flush=True)
         t = _cal_latency(fn, data.b, hi=512)
         rows.append(
@@ -77,19 +90,23 @@ def measure(m=250, n=500, K=15,
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--out", default=None)
-    # "both" measures fp32 then bf16 back-to-back in ONE session so the
+    # "both"/"all" measure the dtypes back-to-back in ONE session so the
     # published table rows share a chip session (mixed-session rows
     # drifted ~3x on the shared relay — VERDICT r2 weak #3).
-    ap.add_argument("--dtype", choices=["float32", "bfloat16", "both"],
-                    default="float32")
-    args = ap.parse_args(argv)
-    dtypes = (
-        ["float32", "bfloat16"] if args.dtype == "both" else [args.dtype]
+    ap.add_argument(
+        "--dtype",
+        choices=["float32", "bfloat16", "int8", "both", "all"],
+        default="float32",
     )
+    args = ap.parse_args(argv)
+    dtypes = {
+        "both": ["float32", "bfloat16"],
+        "all": ["float32", "bfloat16", "int8"],
+    }.get(args.dtype, [args.dtype])
     results = []
     for name in dtypes:
         result = measure(
-            dtype=jnp.bfloat16 if name == "bfloat16" else None
+            dtype={"bfloat16": jnp.bfloat16, "int8": "int8"}.get(name)
         )
         result["dtype"] = name
         results.append(result)

@@ -69,13 +69,33 @@ class InferenceServer:
 
         B: general z-dictionary (m, d) for solvers trained on the full
         Ax + Bz = b constraint — served via the XLA-scan forward (the
-        fused kernels assume B = I); returns (x, z) with z in R^d."""
+        fused kernels assume B = I); returns (x, z) with z in R^d.
+
+        dtype="int8" serves with int8-quantized weights + dynamic
+        per-sample activation quantization (ops/quantized.py): 2x the
+        bf16 MXU peak and half its weight HBM traffic on TPU v5e.
+        Identity-B only; quality delta vs fp32 is measured in
+        BASELINE.md — check it for your dictionary before enabling,
+        exactly as for bf16."""
         if layers is not None:
             K = params.W1.shape[0]
             if not 1 <= layers <= K:
                 raise ValueError(f"layers must be in [1, {K}], got {layers}")
             params = jax.tree.map(lambda v: v[:layers], params)
-        if dtype is not None:
+        self._quantized = dtype == "int8"
+        if self._quantized:
+            if B is not None:
+                raise ValueError(
+                    "dtype='int8' requires identity B (the quantized "
+                    "forward specializes to B = I like the fused kernels)"
+                )
+            if kernel not in ("auto", "reference"):
+                raise ValueError(
+                    f"dtype='int8' owns the forward (ops/quantized.py); "
+                    f"kernel={kernel!r} does not apply"
+                )
+            dtype = None
+        elif dtype is not None:
             params = jax.tree.map(lambda v: v.astype(dtype), params)
             A = A.astype(dtype)
             B = None if B is None else B.astype(dtype)
@@ -92,6 +112,25 @@ class InferenceServer:
                 f"kernel={kernel!r} requires identity B; general-B "
                 "serving runs the XLA scan"
             )
+        if self._quantized:
+            from dladmm_tpu.ops.quantized import (
+                dladmm_forward_int8,
+                quantize_params,
+            )
+
+            # Weights/dictionary quantized ONCE here; requests only pay
+            # the dynamic activation quantization inside the dots.
+            self._qp, self._qd = quantize_params(params, A)
+            fn = jax.jit(
+                lambda qp, qd, b_: dladmm_forward_int8(qp, qd, b_)[:2]
+            )
+            for S in self.buckets:
+                self._compiled[S] = fn.lower(
+                    self._qp,
+                    self._qd,
+                    jax.ShapeDtypeStruct((S, m), jnp.float32),
+                ).compile()
+            return
         for S in self.buckets:
             if B is None:
                 forward_fn, _ = resolve_forward(m, n, d, S, kernel=kernel)
@@ -128,13 +167,139 @@ class InferenceServer:
         bucket = self._bucket_for(S)
         if b.shape[1] != self.m:
             raise ValueError(f"expected (S, {self.m}), got {b.shape}")
-        b = b.astype(self.A.dtype)
+        b = b.astype(jnp.float32 if self._quantized else self.A.dtype)
         if bucket != S:
             b = jnp.concatenate(
                 [b, jnp.zeros((bucket - S, self.m), b.dtype)]
             )
-        if self.B is None:
+        if self._quantized:
+            x, z = self._compiled[bucket](self._qp, self._qd, b)
+        elif self.B is None:
             x, z = self._compiled[bucket](self.params, self.A, b)
         else:
             x, z = self._compiled[bucket](self.params, self.A, self.B, b)
         return x[:S], z[:S]
+
+
+class BatchingServer:
+    """Host-side micro-batching front end over an InferenceServer.
+
+    Production serving is many small concurrent requests, not one
+    pre-assembled batch: this aggregator queues rows from concurrent
+    clients and dispatches them to the AOT-compiled buckets as ONE
+    device call per window, amortizing dispatch overhead and filling
+    the large (throughput-optimal) buckets. Rows are independent
+    (bucketed padding is already exact), so batching requests together
+    is exact too — pinned by tests/test_serve.py against per-request
+    solves. No reference counterpart (SURVEY.md §3.1: the reference has
+    no serving story).
+
+    Policy: a dispatch fires as soon as (a) the queued rows fill the
+    largest bucket, or (b) ``max_delay_ms`` has elapsed since the
+    OLDEST queued request (bounded per-request latency). One worker
+    thread owns the device dispatch; jax compiled calls release the
+    GIL while the device runs, so clients keep enqueueing during a
+    dispatch.
+
+    >>> bs = BatchingServer(InferenceServer(params, A, max_batch=256))
+    >>> fut = bs.submit(b_rows)          # (s, m), any small s
+    >>> x, z = fut.result()              # (s, n), (s, d)
+    >>> bs.close()
+    """
+
+    def __init__(self, server: InferenceServer, max_delay_ms: float = 2.0):
+        import queue
+        import threading
+
+        self.server = server
+        self.max_delay = max_delay_ms / 1e3
+        self.max_rows = server.buckets[-1]
+        self._q: "queue.Queue" = queue.Queue()
+        self._closed = False
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def submit(self, b: Array):
+        """Enqueue a (s, m) request (s <= the largest bucket); returns a
+        concurrent.futures.Future resolving to (x (s, n), z (s, d))."""
+        from concurrent.futures import Future
+
+        if self._closed:
+            raise RuntimeError("BatchingServer is closed")
+        b = np.asarray(b)
+        if b.ndim != 2 or b.shape[1] != self.server.m:
+            raise ValueError(f"expected (s, {self.server.m}), got {b.shape}")
+        if b.shape[0] > self.max_rows:
+            raise ValueError(
+                f"request rows {b.shape[0]} exceed the largest bucket "
+                f"{self.max_rows}; split the request"
+            )
+        fut: Future = Future()
+        self._q.put((b, fut))
+        return fut
+
+    def solve(self, b: Array) -> Tuple[Array, Array]:
+        """Blocking convenience wrapper around submit()."""
+        return self.submit(b).result()
+
+    def close(self):
+        """Drain the queue, stop the worker. Idempotent."""
+        if not self._closed:
+            self._closed = True
+            self._q.put(None)  # wake the worker
+            self._worker.join()
+
+    # -- worker ---------------------------------------------------------
+
+    def _run(self):
+        import queue as _queue
+        import time as _time
+
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            window = [item]
+            rows = item[0].shape[0]
+            deadline = _time.monotonic() + self.max_delay
+            # Fill the window until the largest bucket or the oldest
+            # request's latency budget runs out.
+            while rows < self.max_rows:
+                timeout = deadline - _time.monotonic()
+                if timeout <= 0:
+                    break
+                try:
+                    nxt = self._q.get(timeout=timeout)
+                except _queue.Empty:
+                    break
+                if nxt is None:
+                    self._dispatch(window)
+                    return
+                if rows + nxt[0].shape[0] > self.max_rows:
+                    # Doesn't fit this window: dispatch, start the next
+                    # window with it (keeps requests whole — simpler and
+                    # exact; splitting across dispatches is not needed
+                    # for correctness).
+                    self._dispatch(window)
+                    window = [nxt]
+                    rows = nxt[0].shape[0]
+                    deadline = _time.monotonic() + self.max_delay
+                    continue
+                window.append(nxt)
+                rows += nxt[0].shape[0]
+            self._dispatch(window)
+
+    def _dispatch(self, window):
+        bs = np.concatenate([b for b, _ in window])
+        try:
+            x, z = self.server.solve(jnp.asarray(bs))
+            x, z = np.asarray(x), np.asarray(z)
+        except Exception as e:  # surface device errors on the futures
+            for _, fut in window:
+                fut.set_exception(e)
+            return
+        off = 0
+        for b, fut in window:
+            s = b.shape[0]
+            fut.set_result((x[off : off + s], z[off : off + s]))
+            off += s

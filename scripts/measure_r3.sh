@@ -15,8 +15,9 @@ timeout 1500 python scripts/ab_clip.py | tee bench_out/ab_clip_r3.json
 # 2) driver bench contract: must finish well under the ~10 min capture
 time timeout 600 python bench.py
 
-# 3) serving table, both dtypes in ONE session (VERDICT r2 #5)
-timeout 1200 python -m dladmm_tpu.bench.serving --dtype=both \
+# 3) serving table, ALL dtypes (fp32/bf16/int8) in ONE session
+#    (VERDICT r2 #5; int8 = round-3 quantized serving, ops/quantized.py)
+timeout 1800 python -m dladmm_tpu.bench.serving --dtype=all \
   --out bench_out/serving_r3.json
 
 # 4) synthetic_large quality with delayed clip (the shape where the

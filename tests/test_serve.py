@@ -125,3 +125,134 @@ def test_serve_general_B():
 
     with pytest.raises(ValueError, match="identity B"):
         InferenceServer(params, A, max_batch=16, B=B, kernel="megakernel")
+
+
+def test_int8_server_quality_and_exactness():
+    """dtype='int8' serving: per-row weight scales + per-sample dynamic
+    activation quantization (ops/quantized.py). Pins (a) the quantized
+    forward == the server's bucketed/padded path bit-for-bit, (b) NMSE
+    vs ground truth within a small fraction of a dB of the fp32 server
+    (the quality contract advertised in serve.py/BASELINE.md), and
+    (c) validation: general B and explicit kernels are rejected."""
+    from dladmm_tpu.metrics.core import nmse_db
+    from dladmm_tpu.ops.quantized import (
+        dladmm_forward_int8,
+        quantize_params,
+    )
+
+    key = jax.random.PRNGKey(0)
+    kA, kB, kb = jax.random.split(key, 3)
+    A = make_dictionary(kA, 32, 64)
+    params = init_dladmm_params(A, K=6)
+    data = make_batch(kb, A, 16)
+
+    s32 = InferenceServer(params, A, max_batch=16)
+    s8 = InferenceServer(params, A, max_batch=16, dtype="int8")
+    x32, _ = s32.solve(data.b)
+    x8, z8 = s8.solve(data.b[:11])  # off-bucket: exercises padding
+    qp, qd = quantize_params(params, A)
+    xr, zr, _ = dladmm_forward_int8(qp, qd, data.b[:11])
+    np.testing.assert_array_equal(np.asarray(x8), np.asarray(xr))
+    np.testing.assert_array_equal(np.asarray(z8), np.asarray(zr))
+
+    d32 = float(nmse_db(x32[:11], data.x_star[:11]))
+    d8 = float(nmse_db(x8, data.x_star[:11]))
+    assert abs(d8 - d32) < 0.3, (d8, d32)
+
+    with pytest.raises(ValueError, match="identity B"):
+        InferenceServer(
+            params, A, max_batch=16, dtype="int8",
+            B=make_dictionary(kB, 32, 20),
+        )
+    with pytest.raises(ValueError, match="kernel"):
+        InferenceServer(params, A, max_batch=16, dtype="int8",
+                        kernel="megakernel")
+
+
+def test_int8_quantize_roundtrip():
+    """quantize_rows: per-row symmetric int8 with exact zero-row
+    handling and <= 1/254 relative row error at the row max."""
+    from dladmm_tpu.ops.quantized import quantize_rows
+
+    w = jnp.array(
+        [[1.0, -0.5, 0.25], [0.0, 0.0, 0.0], [100.0, 1.0, -100.0]]
+    )
+    q, s = quantize_rows(w)
+    assert q.dtype == jnp.int8
+    back = np.asarray(q, np.float32) * np.asarray(s)[:, None]
+    np.testing.assert_array_equal(back[1], 0.0)  # zero row exact
+    err = np.abs(back - np.asarray(w))
+    amax = np.abs(np.asarray(w)).max(axis=1, keepdims=True)
+    assert (err <= amax / 254 + 1e-7).all()
+
+
+def test_batching_server_aggregates_and_matches_direct():
+    """BatchingServer: concurrent small requests are aggregated into
+    shared device dispatches, and every client gets exactly the rows a
+    direct solve would produce."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from dladmm_tpu.serve import BatchingServer
+
+    key = jax.random.PRNGKey(0)
+    kA, kb = jax.random.split(key)
+    A = make_dictionary(kA, 20, 40)
+    params = init_dladmm_params(A, K=4)
+    data = make_batch(kb, A, 64)
+    server = InferenceServer(params, A, max_batch=64)
+
+    calls = {"n": 0}
+    direct_solve = server.solve
+
+    def counting_solve(b):
+        calls["n"] += 1
+        return direct_solve(b)
+
+    server.solve = counting_solve
+    bs = BatchingServer(server, max_delay_ms=25.0)
+    try:
+        sizes = [1, 3, 2, 5, 1, 4, 2, 6]
+        offs = np.cumsum([0] + sizes)
+        with ThreadPoolExecutor(8) as pool:
+            futs = list(
+                pool.map(
+                    lambda i: bs.submit(data.b[offs[i] : offs[i + 1]]),
+                    range(len(sizes)),
+                )
+            )
+        results = [f.result(timeout=60) for f in futs]
+    finally:
+        bs.close()
+
+    xr, zr, _ = dladmm_forward(params, A, data.b[: offs[-1]])
+    for i, (x, z) in enumerate(results):
+        assert x.shape == (sizes[i], 40) and z.shape == (sizes[i], 20)
+        np.testing.assert_allclose(
+            x, np.asarray(xr[offs[i] : offs[i + 1]]), rtol=1e-5, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            z, np.asarray(zr[offs[i] : offs[i + 1]]), rtol=1e-5, atol=1e-6
+        )
+    # Aggregation happened: strictly fewer dispatches than requests.
+    assert calls["n"] < len(sizes), calls
+
+
+def test_batching_server_validation_and_close():
+    from dladmm_tpu.serve import BatchingServer
+
+    key = jax.random.PRNGKey(0)
+    kA, kb = jax.random.split(key)
+    A = make_dictionary(kA, 20, 40)
+    params = init_dladmm_params(A, K=3)
+    data = make_batch(kb, A, 8)
+    bs = BatchingServer(InferenceServer(params, A, max_batch=8))
+    with pytest.raises(ValueError, match="exceed"):
+        bs.submit(np.zeros((9, 20), np.float32))
+    with pytest.raises(ValueError, match="expected"):
+        bs.submit(np.zeros((2, 21), np.float32))
+    x, z = bs.solve(data.b[:2])  # blocking wrapper
+    assert x.shape == (2, 40)
+    bs.close()
+    bs.close()  # idempotent
+    with pytest.raises(RuntimeError, match="closed"):
+        bs.submit(data.b[:1])
