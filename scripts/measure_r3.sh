@@ -21,9 +21,17 @@ timeout 1800 python -m dladmm_tpu.bench.serving --dtype=all \
   --out bench_out/serving_r3.json
 
 # 4) synthetic_large quality with delayed clip (the shape where the
-#    clip might actually bind; ~3 min of device time)
+#    clip might actually bind; ~3 min of device time). Checkpointed so
+#    phase 4b can evaluate the serving-precision ladder on it.
 timeout 2400 python -m dladmm_tpu.run --config=synthetic_large \
-  --clip-mode=delayed --log-jsonl=bench_out/synthetic_large_delayed_r3.jsonl
+  --clip-mode=delayed --ckpt-dir=bench_out/ckpt_large_r3 \
+  --log-jsonl=bench_out/synthetic_large_delayed_r3.jsonl
+
+# 4b) serving-precision quality ladder (fp32/bf16/int8) on the trained
+#     flagship net — the int8 quality claim at the MXU-saturation shape
+timeout 900 python scripts/quality_int8.py --config=synthetic_large \
+  --clip-mode=delayed --ckpt-dir=bench_out/ckpt_large_r3 \
+  | tee bench_out/quality_int8_large_r3.json
 
 # 5) synthetic_large quality with the fused optimizer (same recipe
 #    through train/fused_adam.py — must reproduce phase 4's numbers)
