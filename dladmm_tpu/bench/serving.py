@@ -43,11 +43,16 @@ def measure(m=250, n=500, K=15,
     if quantized:  # serve.py's int8 serving mode (ops/quantized.py)
         from dladmm_tpu.ops.quantized import (
             dladmm_forward_int8,
+            dladmm_forward_int8_pallas,
+            int8_tile_batch,
             quantize_params,
         )
 
         qp, qd = quantize_params(params, A)
         int8_fn = jax.jit(lambda b: dladmm_forward_int8(qp, qd, b)[:2])
+        int8_mega_fn = jax.jit(
+            lambda b: dladmm_forward_int8_pallas(qp, qd, b)[:2]
+        )
         dtype = None
     elif dtype is not None:  # serve.py's bf16 serving mode
         params = jax.tree.map(lambda v: v.astype(dtype), params)
@@ -65,21 +70,26 @@ def measure(m=250, n=500, K=15,
         data = make_batch(kb, A.astype(jnp.float32), S)
         data = type(data)(*(v.astype(A.dtype) for v in data))
         if quantized:
-            fn, desc = int8_fn, "int8-scan"
+            # Both int8 paths per bucket (same quantized math): the XLA
+            # scan and, where a tile fits, the Pallas tiled megakernel.
+            variants = [(int8_fn, "int8-scan")]
+            if int8_tile_batch(m, n, m, S) is not None:
+                variants.append((int8_mega_fn, "int8-megakernel"))
         else:
             forward_fn, desc = resolve_forward(m, n, m, S, kernel=kernel)
-            fn = lambda b: forward_fn(params, A, b)[:2]
-        print(f"bucket {S} ({desc})...", file=sys.stderr, flush=True)
-        t = _cal_latency(fn, data.b, hi=512)
-        rows.append(
-            {
-                "bucket": S,
-                "path": desc,
-                "device_latency_us": round(t * 1e6, 1),
-                "throughput_solves_per_s": round(S / t, 1),
-            }
-        )
-        print(f"  -> {t * 1e6:.1f} us", file=sys.stderr, flush=True)
+            variants = [(lambda b: forward_fn(params, A, b)[:2], desc)]
+        for fn, desc in variants:
+            print(f"bucket {S} ({desc})...", file=sys.stderr, flush=True)
+            t = _cal_latency(fn, data.b, hi=512)
+            rows.append(
+                {
+                    "bucket": S,
+                    "path": desc,
+                    "device_latency_us": round(t * 1e6, 1),
+                    "throughput_solves_per_s": round(S / t, 1),
+                }
+            )
+            print(f"  -> {t * 1e6:.1f} us", file=sys.stderr, flush=True)
     return {
         "shape": f"A {m}x{n}, K={K}",
         "dispatch_overhead_ms": round(dispatch_ms, 1),

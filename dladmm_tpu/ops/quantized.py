@@ -152,3 +152,215 @@ def dladmm_forward_int8(
 
     (x, z, lam, _), _ = jax.lax.scan(body, (x0, z0, lam0, Ax0), tuple(qp))
     return x, z, lam
+
+
+# ---------------------------------------------------------------------------
+# int8 tiled megakernel (serving): the whole-unroll Pallas kernel of
+# ops/pallas_unroll.py with int8 weights in VMEM and the s8 x s8 -> s32
+# MXU path. Weights at 1 byte double the effective VMEM weight budget
+# AND the MXU peak (v5e: 394 int8 vs 197 bf16 TOPS); the fp32 solver
+# state stays VMEM-resident per batch tile exactly as in the fp32/bf16
+# kernel. Opt-in via InferenceServer(dtype="int8", kernel="megakernel")
+# — scripts/verify_tpu.py gates the Mosaic compile on real hardware
+# (interpret-mode tests cannot see Mosaic-only failures — see
+# tests/conftest.py note).
+# ---------------------------------------------------------------------------
+
+_VMEM_BUDGET_BYTES = 14 * 1024 * 1024
+
+
+def int8_tile_batch(m: int, n: int, d: int, S: int):
+    """Largest batch-tile for the int8 tile-outer megakernel (grid
+    (S/bs, K)), or None. Same accounting as pallas_unroll's
+    unroll_tile_batch with 1-byte weights/dictionary and fp32 state."""
+    layer_w = n * m + d * m  # int8
+    a_bytes = m * n  # int8
+    scales = 4 * (n + d + m)
+
+    def fits(bs, db):
+        state = bs * (n + 3 * m + max(n, d)) * 4
+        return (
+            2 * layer_w + a_bytes + scales + db * state
+            <= _VMEM_BUDGET_BYTES
+        )
+
+    if fits(S, 1):
+        return S
+    for bs in (4096, 2048, 1024, 512, 256, 128, 64):
+        if S % bs or bs >= S:
+            continue
+        if fits(bs, 2):
+            return bs
+    return None
+
+
+def _int8_unroll_kernel(
+    # inputs
+    b_ref,
+    a_q_ref,  # (m, n) int8
+    a_s_ref,  # (1, m) fp32
+    w1_q_ref,  # (1, n, m) int8 — layer k's block
+    w1_s_ref,  # (1, 1, n) fp32
+    w2_q_ref,  # (1, d, m) int8
+    w2_s_ref,  # (1, 1, d) fp32
+    th1_ref,  # (1, 1, n)
+    th2_ref,  # (1, 1, d)
+    beta_ref,  # (K, 1) SMEM (32-bit scalars only)
+    # outputs (constant index_map -> VMEM-resident across the unroll)
+    x_ref,
+    z_ref,
+    lam_ref,
+    ax_ref,
+    *,
+    k_axis: int = 0,
+):
+    import jax.experimental.pallas as pl
+
+    k = pl.program_id(k_axis)
+
+    @pl.when(k == 0)
+    def _init():
+        x_ref[:] = jnp.zeros_like(x_ref)
+        z_ref[:] = jnp.zeros_like(z_ref)
+        lam_ref[:] = jnp.zeros_like(lam_ref)
+        ax_ref[:] = jnp.zeros_like(ax_ref)
+
+    def qdot_t(act, w_q, w_s):
+        # Dynamic per-sample activation quantization (module docstring):
+        # the row max is exactly representable, the dot is exact int32.
+        s_act = jnp.max(jnp.abs(act), axis=-1, keepdims=True) * (1.0 / 127.0)
+        a_q = jnp.round(act / jnp.maximum(s_act, _TINY)).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            a_q,
+            w_q,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        return acc.astype(jnp.float32) * s_act * w_s
+
+    beta = jnp.maximum(beta_ref[k, 0], _BETA_MIN)
+    z = z_ref[:]
+    lam = lam_ref[:]
+    b = b_ref[:]
+    base = z - b + lam * (1.0 / beta)
+    u = ax_ref[:] + base
+    th1 = jnp.maximum(th1_ref[0], 0.0)
+    p1 = x_ref[:] - qdot_t(u, w1_q_ref[0], w1_s_ref[0])
+    x1 = jnp.sign(p1) * jnp.maximum(jnp.abs(p1) - th1, 0.0)
+    ax1 = qdot_t(x1, a_q_ref[:], a_s_ref[:])
+    v = ax1 + base
+    th2 = jnp.maximum(th2_ref[0], 0.0)
+    p2 = z - qdot_t(v, w2_q_ref[0], w2_s_ref[0])
+    z1 = jnp.sign(p2) * jnp.maximum(jnp.abs(p2) - th2, 0.0)
+    x_ref[:] = x1
+    z_ref[:] = z1
+    lam_ref[:] = lam + beta * (ax1 + z1 - b)
+    ax_ref[:] = ax1
+
+
+def dladmm_forward_int8_pallas(
+    qp: QuantizedParams,
+    qd: QuantizedDict,
+    b: Array,
+    *,
+    interpret=None,
+):
+    """int8 whole-unroll megakernel forward: (x, z, lam), fp32.
+
+    Bit-identical math to dladmm_forward_int8 (same quantization
+    decisions, exact int32 dots, same fp32 elementwise chain) — parity
+    pinned in tests/test_serve.py; the Mosaic compile itself is gated by
+    scripts/verify_tpu.py on real hardware. interpret=None follows the
+    package convention: interpret off only on a real TPU backend.
+    """
+    import functools
+
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    K, n, m = qp.W1_q.shape
+    d = qp.W2_q.shape[1]
+    S = b.shape[0]
+    b = b.astype(jnp.float32)
+    th1 = jnp.broadcast_to(
+        qp.theta1.reshape(K, 1, -1).astype(jnp.float32), (K, 1, n)
+    )
+    th2 = jnp.broadcast_to(
+        qp.theta2.reshape(K, 1, -1).astype(jnp.float32), (K, 1, d)
+    )
+    beta = qp.beta.reshape(K, 1).astype(jnp.float32)
+    w1_s = qp.W1_s.reshape(K, 1, n).astype(jnp.float32)
+    w2_s = qp.W2_s.reshape(K, 1, d).astype(jnp.float32)
+    a_s = qd.A_s.reshape(1, m).astype(jnp.float32)
+
+    bs = int8_tile_batch(m, n, d, S)
+    if bs is None:
+        raise ValueError(
+            f"no int8 megakernel tile fits VMEM for m={m} n={n} S={S}"
+        )
+    n_tiles = S // bs
+    if n_tiles == 1:
+        grid = (K,)
+        k_axis = 0
+        tile = lambda *dims: pl.BlockSpec(
+            dims, lambda k: (0,) * len(dims), memory_space=pltpu.VMEM
+        )
+        per_layer = lambda *dims: pl.BlockSpec(
+            (1,) + dims,
+            lambda k: (k,) + (0,) * len(dims),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        grid = (n_tiles, K)
+        k_axis = 1
+        tile = lambda bs_, dim: pl.BlockSpec(
+            (bs_, dim), lambda ps, k: (ps, 0), memory_space=pltpu.VMEM
+        )
+        per_layer = lambda *dims: pl.BlockSpec(
+            (1,) + dims,
+            lambda ps, k: (k,) + (0,) * len(dims),
+            memory_space=pltpu.VMEM,
+        )
+    whole = lambda *dims: pl.BlockSpec(
+        dims,
+        (lambda k: (0,) * len(dims))
+        if n_tiles == 1
+        else (lambda ps, k: (0,) * len(dims)),
+        memory_space=pltpu.VMEM,
+    )
+
+    x, z, lam, _ = pl.pallas_call(
+        functools.partial(_int8_unroll_kernel, k_axis=k_axis),
+        grid=grid,
+        in_specs=[
+            tile(bs, m),  # b
+            whole(m, n),  # A_q
+            whole(1, m),  # A_s
+            per_layer(n, m),  # W1_q
+            per_layer(1, n),  # W1_s
+            per_layer(d, m),  # W2_q
+            per_layer(1, d),  # W2_s
+            per_layer(1, n),  # th1
+            per_layer(1, d),  # th2
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # beta (K, 1)
+        ],
+        out_specs=[tile(bs, n), tile(bs, d), tile(bs, m), tile(bs, m)],
+        out_shape=[
+            jax.ShapeDtypeStruct((S, n), jnp.float32),
+            jax.ShapeDtypeStruct((S, d), jnp.float32),
+            jax.ShapeDtypeStruct((S, m), jnp.float32),
+            jax.ShapeDtypeStruct((S, m), jnp.float32),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * S * m * (2 * n + d) * K,
+            bytes_accessed=n_tiles * K * (n * m + d * m)
+            + m * n
+            + S * (2 * n + 2 * d + 3 * m) * 4,
+            transcendentals=0,
+        ),
+    )(b, qd.A_q, a_s, qp.W1_q, w1_s, qp.W2_q, w2_s, th1, th2, beta)
+    return x, z, lam

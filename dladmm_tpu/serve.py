@@ -89,10 +89,12 @@ class InferenceServer:
                     "dtype='int8' requires identity B (the quantized "
                     "forward specializes to B = I like the fused kernels)"
                 )
-            if kernel not in ("auto", "reference"):
+            if kernel not in ("auto", "reference", "megakernel"):
                 raise ValueError(
-                    f"dtype='int8' owns the forward (ops/quantized.py); "
-                    f"kernel={kernel!r} does not apply"
+                    f"dtype='int8' serves via ops/quantized.py; "
+                    f"kernel={kernel!r} does not apply (use 'auto' for "
+                    "the XLA scan or 'megakernel' for the int8 Pallas "
+                    "tiled megakernel)"
                 )
             dtype = None
         elif dtype is not None:
@@ -115,16 +117,33 @@ class InferenceServer:
         if self._quantized:
             from dladmm_tpu.ops.quantized import (
                 dladmm_forward_int8,
+                dladmm_forward_int8_pallas,
+                int8_tile_batch,
                 quantize_params,
             )
 
             # Weights/dictionary quantized ONCE here; requests only pay
             # the dynamic activation quantization inside the dots.
             self._qp, self._qd = quantize_params(params, A)
-            fn = jax.jit(
+            scan_fn = jax.jit(
                 lambda qp, qd, b_: dladmm_forward_int8(qp, qd, b_)[:2]
             )
+            mega_fn = jax.jit(
+                lambda qp, qd, b_: dladmm_forward_int8_pallas(qp, qd, b_)[
+                    :2
+                ]
+            )
             for S in self.buckets:
+                use_mega = (
+                    kernel == "megakernel"
+                    and int8_tile_batch(m, n, d, S) is not None
+                )
+                if kernel == "megakernel" and not use_mega:
+                    raise ValueError(
+                        f"no int8 megakernel tile fits VMEM at bucket {S} "
+                        f"(m={m}, n={n}); use kernel='auto'"
+                    )
+                fn = mega_fn if use_mega else scan_fn
                 self._compiled[S] = fn.lower(
                     self._qp,
                     self._qd,

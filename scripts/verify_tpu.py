@@ -178,6 +178,43 @@ def main() -> int:
                     f"chunked-bwd (bs={bs}) grad {name}", p_, r, tol_g
                 )
 
+    # int8 quantized serving kernels (round 3, ops/quantized.py): the
+    # s8 x s8 -> s32 MXU dot + in-kernel round/cast are Mosaic features
+    # interpret-mode tests cannot validate. Parity target is the int8
+    # XLA scan (identical quantized math), so tolerance is tight.
+    print("[int8]")
+    from dladmm_tpu.ops.quantized import (
+        dladmm_forward_int8,
+        dladmm_forward_int8_pallas,
+        int8_tile_batch,
+        quantize_params,
+    )
+
+    qp, qd = quantize_params(params0, A0)
+    ref8_x, ref8_z, ref8_lam = jax.jit(dladmm_forward_int8)(qp, qd, data.b)
+    # Sanity vs fp32: quantization noise only (~1e-2 relative).
+    fp_x, _, _ = dladmm_forward(params0, A0, data.b)
+    ok &= check("int8 scan vs fp32 x (quant noise)", ref8_x, fp_x, 5e-2)
+    x8, z8, lam8 = jax.jit(
+        lambda a, c, bb: dladmm_forward_int8_pallas(
+            a, c, bb, interpret=False
+        )
+    )(qp, qd, data.b)
+    ok &= check("int8 megakernel x", x8, ref8_x, 1e-5)
+    ok &= check("int8 megakernel lam", lam8, ref8_lam, 1e-5)
+
+    S8 = 2048
+    bs8 = int8_tile_batch(m, n, m, S8)
+    if bs8 is not None and bs8 < S8:
+        b8 = make_batch(kb, A0, S8).b
+        r8x, _, _ = jax.jit(dladmm_forward_int8)(qp, qd, b8)
+        t8x, _, _ = jax.jit(
+            lambda a, c, bb: dladmm_forward_int8_pallas(
+                a, c, bb, interpret=False
+            )
+        )(qp, qd, b8)
+        ok &= check(f"int8 tiled megakernel (bs={bs8}) x", t8x, r8x, 1e-5)
+
     print("PASS" if ok else "FAIL")
     return 0 if ok else 1
 

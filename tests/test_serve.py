@@ -164,9 +164,11 @@ def test_int8_server_quality_and_exactness():
             params, A, max_batch=16, dtype="int8",
             B=make_dictionary(kB, 32, 20),
         )
+    # kernel='megakernel' is the int8 Pallas path (tests/test_quantized.py);
+    # anything else is rejected.
     with pytest.raises(ValueError, match="kernel"):
         InferenceServer(params, A, max_batch=16, dtype="int8",
-                        kernel="megakernel")
+                        kernel="fused")
 
 
 def test_int8_quantize_roundtrip():
