@@ -70,6 +70,22 @@ def main(argv=None) -> int:
         "--resume", action="store_true", help="resume from latest checkpoint"
     )
     ap.add_argument(
+        "--import-torch",
+        default=None,
+        metavar="CKPT",
+        help="warm-start from a reference-style PyTorch checkpoint "
+        "(utils/torch_compat.from_torch); the weights must match the "
+        "config's problem shapes — combine with --steps for a short "
+        "fine-tune or evaluation run",
+    )
+    ap.add_argument(
+        "--export-torch",
+        default=None,
+        metavar="CKPT",
+        help="after training, torch.save the trained net in the "
+        "reference's ParameterList state-dict layout",
+    )
+    ap.add_argument(
         "--greedy",
         action="store_true",
         help="greedy layer-wise training schedule (stage k trains the "
@@ -147,12 +163,34 @@ def main(argv=None) -> int:
 
     p = cfg.problem
     s = cfg.sharding
+    init_params = None
+    if args.import_torch:
+        if s.data_axis * s.model_axis > 1 or args.greedy:
+            ap.error(
+                "--import-torch warm-starts the single-device fit only; "
+                "use utils.torch_compat.from_torch + fit_sharded's "
+                "checkpoint path for sharded configs"
+            )
+        from dladmm_tpu.utils.torch_compat import from_torch
+
+        init_params = from_torch(args.import_torch)
+        print(
+            f"imported torch checkpoint {args.import_torch} "
+            f"(K={init_params.K})",
+            flush=True,
+        )
     if s.data_axis * s.model_axis > 1:
         if args.greedy:
             ap.error(
                 "--greedy is single-device only (layer-wise stages have "
                 "no sharded implementation); unset it for config "
                 f"{cfg.name!r}"
+            )
+        if args.export_torch:
+            ap.error(
+                "--export-torch is single-device only; checkpoint the "
+                "sharded run (--ckpt-dir) and export from the restored "
+                "params instead"
             )
         # Sharded presets (tp_small, tp_large, multihost): DP x TP mesh
         # training with explicit collectives. The full flag surface
@@ -195,6 +233,11 @@ def main(argv=None) -> int:
         print("kernel path: greedy (per-stage auto-selection)", flush=True)
         params, history = fit_greedy(cfg, log_fn=logger)
         report(history[-1])
+        if args.export_torch:
+            from dladmm_tpu.utils.torch_compat import save_torch
+
+            save_torch(params, args.export_torch)
+            print(f"torch export saved: {args.export_torch}")
         return 0
 
     if not p.identity_B:
@@ -256,8 +299,14 @@ def main(argv=None) -> int:
         forward_fn=forward_fn,
         ckpt_dir=args.ckpt_dir,
         resume=args.resume,
+        init_params=init_params,
     )
     report(history[-1])
+    if args.export_torch:
+        from dladmm_tpu.utils.torch_compat import save_torch
+
+        save_torch(params, args.export_torch)
+        print(f"torch export saved: {args.export_torch}")
     return 0
 
 
