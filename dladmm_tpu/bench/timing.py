@@ -38,7 +38,10 @@ import jax.numpy as jnp
 
 # One compiled runner per step function (weak so benches don't leak
 # compiled executables). Keyed on the step object: all lo/hi/retry
-# chains inside one time_chained call share a single compile.
+# chains inside one time_chained call share a single compile. The
+# cached runner must reference `step` only through a weakref — a value
+# that strongly references its own key is the documented
+# WeakKeyDictionary pitfall that would keep every entry alive forever.
 _RUNNERS: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
@@ -48,12 +51,19 @@ def _runner_for(step: Callable):
     except TypeError:  # unhashable/non-weakrefable step: just rebuild
         run = None
     if run is None:
+        try:
+            get_step = weakref.ref(step)
+        except TypeError:  # non-weakrefable: uncacheable, strong is fine
+            get_step = lambda: step  # noqa: E731
 
         @jax.jit
         def run(carry, iters):
-            carry = jax.lax.fori_loop(
-                0, iters, lambda _, c: step(c), carry
-            )
+            s = get_step()
+            if s is None:  # retrace after the step died (can't happen
+                raise RuntimeError(  # while the caller holds `step`)
+                    "bench step function was garbage-collected"
+                )
+            carry = jax.lax.fori_loop(0, iters, lambda _, c: s(c), carry)
             return jnp.sum(jax.flatten_util.ravel_pytree(carry)[0][:8])
 
         try:

@@ -235,6 +235,10 @@ class BatchingServer:
         self.max_rows = server.buckets[-1]
         self._q: "queue.Queue" = queue.Queue()
         self._closed = False
+        # Serializes the closed-check-then-enqueue in submit() against
+        # close()'s set-closed-then-sentinel, so no request can land
+        # behind the None sentinel and strand its future.
+        self._lock = threading.Lock()
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
@@ -254,7 +258,10 @@ class BatchingServer:
                 f"{self.max_rows}; split the request"
             )
         fut: Future = Future()
-        self._q.put((b, fut))
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("BatchingServer is closed")
+            self._q.put((b, fut))
         return fut
 
     def solve(self, b: Array) -> Tuple[Array, Array]:
@@ -263,10 +270,12 @@ class BatchingServer:
 
     def close(self):
         """Drain the queue, stop the worker. Idempotent."""
-        if not self._closed:
+        with self._lock:
+            if self._closed:
+                return
             self._closed = True
-            self._q.put(None)  # wake the worker
-            self._worker.join()
+            self._q.put(None)  # wake the worker (FIFO: after all requests)
+        self._worker.join()
 
     # -- worker ---------------------------------------------------------
 
@@ -309,6 +318,18 @@ class BatchingServer:
             self._dispatch(window)
 
     def _dispatch(self, window):
+        # Claim each future first: a client may have cancelled while its
+        # request was queued; set_result on a cancelled future raises
+        # InvalidStateError (which would kill the worker). A claimed
+        # (RUNNING) future can no longer be cancelled, so the set_*
+        # calls below are safe.
+        window = [
+            (b, fut)
+            for b, fut in window
+            if fut.set_running_or_notify_cancel()
+        ]
+        if not window:
+            return
         bs = np.concatenate([b for b, _ in window])
         try:
             x, z = self.server.solve(jnp.asarray(bs))

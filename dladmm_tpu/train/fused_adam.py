@@ -78,6 +78,10 @@ def make_fused_adam_state(
 ) -> TrainState:
     """TrainState whose opt_state is FusedAdamState (mirrors
     make_train_state + optimizer.init for the fused step)."""
+    # clip_norm=0.0 means "clipping disabled" everywhere else in the
+    # package (_build_optimizer's `if clip:`); honor that here rather
+    # than clip-to-zero, which would silently freeze training.
+    clip_norm = clip_norm or None
     opt = FusedAdamState(
         mu=jax.tree.map(jnp.zeros_like, params),
         nu=jax.tree.map(jnp.zeros_like, params),
@@ -121,6 +125,7 @@ def make_fused_update_core(
     b_c, x_star, e_star) -> (loss, new_p, new_mu, new_nu, new_cp,
     new_norm) with new_cp=None when compute_dtype is None.
     """
+    clip_norm = clip_norm or None  # 0.0 == disabled (package convention)
 
     def core(params32, params_c, mu, nu, count, prev_norm, A_c, b_c,
              x_star, e_star):

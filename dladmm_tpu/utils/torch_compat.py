@@ -97,20 +97,36 @@ def _classify_key(key: str) -> Optional[tuple]:
 
 def _to_numpy(v) -> np.ndarray:
     if hasattr(v, "detach"):  # torch.Tensor without importing torch here
-        v = v.detach().cpu().numpy()
+        v = v.detach().cpu()
+        try:
+            v = v.numpy()
+        except TypeError:
+            # bfloat16 tensors have no numpy dtype; we upcast to f64
+            # below anyway, so a float32 hop loses nothing.
+            v = v.float().numpy()
     return np.asarray(v, dtype=np.float64)
 
 
-def _unwrap(source) -> Mapping[str, object]:
+def _unwrap(source, allow_pickle: bool = False) -> Mapping[str, object]:
     """Path / nn.Module / mapping -> flat state-dict-like mapping."""
     if isinstance(source, (str, bytes)) or hasattr(source, "__fspath__"):
         import torch
 
         try:
             source = torch.load(source, map_location="cpu", weights_only=True)
-        except Exception:
+        except Exception as e:
             # Checkpoints of whole modules (torch.save(net)) need a full
-            # unpickle; weights_only rejects them.
+            # unpickle; weights_only rejects them. A full unpickle
+            # executes arbitrary code from the file, so it must be an
+            # explicit opt-in — never a silent fallback, which would
+            # re-enable exactly what the safe loader refused.
+            if not allow_pickle:
+                raise ValueError(
+                    "torch.load(weights_only=True) rejected this "
+                    "checkpoint. If it is a trusted torch.save(net) "
+                    "whole-module file, retry with allow_pickle=True "
+                    "(executes pickle code from the file)."
+                ) from e
             source = torch.load(source, map_location="cpu", weights_only=False)
     if hasattr(source, "state_dict") and not isinstance(source, Mapping):
         source = source.state_dict()
@@ -131,6 +147,7 @@ def from_torch(
     rename: Optional[Mapping[str, str]] = None,
     default_beta: float = 1.0,
     dtype=jnp.float32,
+    allow_pickle: bool = False,
 ) -> DLADMMParams:
     """Import reference-style PyTorch weights into stacked DLADMMParams.
 
@@ -145,12 +162,15 @@ def from_torch(
         none (some reference variants fix beta rather than learn it —
         SURVEY.md §10 Q4).
       dtype: dtype of the returned leaves.
+      allow_pickle: permit a full (arbitrary-code-executing) unpickle
+        for ``torch.save(net)`` whole-module checkpoints that the safe
+        ``weights_only`` loader rejects. Only set for trusted files.
 
     Returns:
       DLADMMParams with leading K axis on every leaf, ready for
       models/unroll.dladmm_forward and train/loop.fit.
     """
-    sd = _unwrap(source)
+    sd = _unwrap(source, allow_pickle=allow_pickle)
     if rename:
         sd = {rename.get(k, k): v for k, v in sd.items()}
 

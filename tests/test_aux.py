@@ -188,3 +188,26 @@ def test_time_chained_noise_fallback(monkeypatch):
     assert t == pytest.approx(0.5 / 64)
     with pytest.raises(RuntimeError, match="no positive slope"):
         timing.time_chained(lambda c: c, 0.0, iters=8, strict=True)
+
+
+def test_timing_runner_cache_evicts_dead_steps():
+    """The compiled-runner cache must not pin step closures forever:
+    once the caller drops its step function, the cache entry (and the
+    compiled executable it holds) must be collectable."""
+    import gc
+    import weakref
+
+    from dladmm_tpu.bench import timing
+
+    def step(c):
+        return c + 1.0
+
+    timing.time_chained(step, jnp.zeros(()), iters=4)
+    assert step in timing._RUNNERS
+    ref = weakref.ref(step)
+    del step
+    gc.collect()
+    assert ref() is None, "runner cache kept the step function alive"
+    assert len(list(timing._RUNNERS.keys())) == 0 or all(
+        k is not None for k in timing._RUNNERS.keys()
+    )

@@ -301,3 +301,28 @@ def test_bwd_layer_skips_data_cotangents_without_acc():
         jax.make_jaxpr(lambda: bwd_layer(p, r, cts, A, b, None, None))()
     ).count("dot_general")
     assert n_with == 6 and n_without == 5, (n_with, n_without)
+
+
+def test_clip_norm_zero_means_disabled():
+    """clip_norm=0.0 is 'clipping disabled' everywhere else in the
+    package; the fused path must match (not scale every update to 0,
+    which would silently freeze training)."""
+    A, params, data = _setup()
+    step = make_fused_adam_step(
+        A, S, lr=LR, clip_norm=0.0, from_batch=True, donate=False
+    )
+    state = make_fused_adam_state(params, clip_norm=0.0)
+    state2, _ = step(state, data)
+    deltas = [
+        float(jnp.max(jnp.abs(p1 - p0)))
+        for p0, p1 in zip(params, state2.params)
+    ]
+    assert max(deltas) > 0.0, "clip_norm=0.0 froze the parameters"
+
+    # And it matches clip_norm=None bit-for-bit.
+    step_none = make_fused_adam_step(
+        A, S, lr=LR, clip_norm=None, from_batch=True, donate=False
+    )
+    state_none, _ = step_none(make_fused_adam_state(params), data)
+    for pa, pb in zip(state2.params, state_none.params):
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))

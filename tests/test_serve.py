@@ -258,3 +258,46 @@ def test_batching_server_validation_and_close():
     bs.close()  # idempotent
     with pytest.raises(RuntimeError, match="closed"):
         bs.submit(data.b[:1])
+
+
+def test_batching_server_cancelled_future_skipped_worker_survives():
+    """A future cancelled while queued must be dropped at dispatch time
+    (not crash the worker with InvalidStateError), and later requests
+    must still be served by the same worker thread."""
+    from dladmm_tpu.serve import BatchingServer
+
+    key = jax.random.PRNGKey(0)
+    kA, kb = jax.random.split(key)
+    A = make_dictionary(kA, 20, 40)
+    params = init_dladmm_params(A, K=3)
+    data = make_batch(kb, A, 8)
+    server = InferenceServer(params, A, max_batch=8)
+
+    # Stall the worker's first dispatch so a queued cancel can land.
+    import threading
+
+    gate = threading.Event()
+    direct_solve = server.solve
+
+    def gated_solve(b):
+        gate.wait(timeout=30)
+        return direct_solve(b)
+
+    server.solve = gated_solve
+    bs = BatchingServer(server, max_delay_ms=1.0)
+    try:
+        first = bs.submit(data.b[:1])  # worker picks this up, blocks
+        import time
+
+        time.sleep(0.1)  # let the worker enter gated_solve
+        doomed = bs.submit(data.b[:2])  # queued behind the stall
+        assert doomed.cancel()  # still PENDING -> cancellable
+        gate.set()
+        first.result(timeout=30)
+        # Worker must still be alive and serving after the cancel.
+        x, z = bs.solve(data.b[:3])
+        assert x.shape == (3, 40) and z.shape == (3, 20)
+        assert doomed.cancelled()
+    finally:
+        gate.set()
+        bs.close()

@@ -220,3 +220,47 @@ def test_cli_import_rejected_for_sharded_configs(tmp_path):
         main(["--config=tp_small", "--import-torch=whatever.pt"])
     with pytest.raises(SystemExit):
         main(["--config=tp_small", "--export-torch=out.pt"])
+
+
+def test_from_torch_bfloat16_checkpoint():
+    """Reference checkpoints saved in bf16 import (torch bf16 tensors
+    have no numpy dtype; the importer must upcast)."""
+    torch = pytest.importorskip("torch")
+    _, params = _rand_params(3)
+    sd = {
+        k: torch.as_tensor(np.asarray(v)).to(torch.bfloat16)
+        for k, v in to_torch_state_dict(params).items()
+    }
+    back = from_torch(sd)
+    for la, lb, name in zip(params, back, params._fields):
+        np.testing.assert_allclose(
+            np.asarray(la), np.asarray(lb), rtol=1e-2, atol=1e-2,
+            err_msg=name,
+        )
+
+
+class _Box:  # module-level so torch.save can pickle it
+    """Stand-in for a torch.save(net) whole-module checkpoint: not a
+    tensor container, so the weights_only loader rejects it."""
+
+    def __init__(self, sd):
+        self._sd = sd
+
+    def state_dict(self):
+        return self._sd
+
+
+def test_from_torch_rejects_module_pickle_without_opt_in(tmp_path):
+    """Files the weights_only loader rejects must NOT fall back to a
+    full unpickle silently — that would execute arbitrary pickle code.
+    allow_pickle=True is the explicit opt-in."""
+    torch = pytest.importorskip("torch")
+    Box = _Box
+
+    _, params = _rand_params(4)
+    path = tmp_path / "whole_module.pt"
+    torch.save(Box(to_torch_state_dict(params)), path)
+    with pytest.raises(ValueError, match="allow_pickle"):
+        from_torch(str(path))
+    back = from_torch(str(path), allow_pickle=True)
+    _assert_params_equal(params, back)
