@@ -79,6 +79,14 @@ def main(argv=None) -> int:
         "fine-tune or evaluation run",
     )
     ap.add_argument(
+        "--allow-pickle",
+        action="store_true",
+        help="permit --import-torch to fully unpickle torch.save(net) "
+        "whole-module checkpoints that the safe weights_only loader "
+        "rejects (executes pickle code from the file — trusted files "
+        "only)",
+    )
+    ap.add_argument(
         "--export-torch",
         default=None,
         metavar="CKPT",
@@ -173,7 +181,9 @@ def main(argv=None) -> int:
             )
         from dladmm_tpu.utils.torch_compat import from_torch
 
-        init_params = from_torch(args.import_torch)
+        init_params = from_torch(
+            args.import_torch, allow_pickle=args.allow_pickle
+        )
         print(
             f"imported torch checkpoint {args.import_torch} "
             f"(K={init_params.K})",
