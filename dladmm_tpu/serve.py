@@ -35,6 +35,30 @@ def _buckets(max_batch: int) -> Tuple[int, ...]:
     return tuple(out)
 
 
+def _prep_serving(params, A, B, dtype, layers):
+    """Shared serving preamble (single-chip and sharded servers):
+    early-exit layer slice + serving-dtype cast. Returns
+    (params, A, B, quantized) — with dtype="int8" the cast is deferred
+    to ops/quantized.quantize_params and ``quantized`` is True."""
+    if layers is not None:
+        K = params.W1.shape[0]
+        if not 1 <= layers <= K:
+            raise ValueError(f"layers must be in [1, {K}], got {layers}")
+        params = jax.tree.map(lambda v: v[:layers], params)
+    quantized = dtype == "int8"
+    if quantized:
+        if B is not None:
+            raise ValueError(
+                "dtype='int8' requires identity B (the quantized "
+                "forward specializes to B = I like the fused kernels)"
+            )
+    elif dtype is not None:
+        params = jax.tree.map(lambda v: v.astype(dtype), params)
+        A = A.astype(dtype)
+        B = None if B is None else B.astype(dtype)
+    return params, A, B, quantized
+
+
 class InferenceServer:
     """AOT-compiled D-LADMM inference over batch buckets.
 
@@ -77,30 +101,20 @@ class InferenceServer:
         Identity-B only; quality delta vs fp32 is measured in
         BASELINE.md — check it for your dictionary before enabling,
         exactly as for bf16."""
-        if layers is not None:
-            K = params.W1.shape[0]
-            if not 1 <= layers <= K:
-                raise ValueError(f"layers must be in [1, {K}], got {layers}")
-            params = jax.tree.map(lambda v: v[:layers], params)
-        self._quantized = dtype == "int8"
-        if self._quantized:
-            if B is not None:
-                raise ValueError(
-                    "dtype='int8' requires identity B (the quantized "
-                    "forward specializes to B = I like the fused kernels)"
-                )
-            if kernel not in ("auto", "reference", "megakernel"):
-                raise ValueError(
-                    f"dtype='int8' serves via ops/quantized.py; "
-                    f"kernel={kernel!r} does not apply (use 'auto' for "
-                    "the XLA scan or 'megakernel' for the int8 Pallas "
-                    "tiled megakernel)"
-                )
-            dtype = None
-        elif dtype is not None:
-            params = jax.tree.map(lambda v: v.astype(dtype), params)
-            A = A.astype(dtype)
-            B = None if B is None else B.astype(dtype)
+        params, A, B, self._quantized = _prep_serving(
+            params, A, B, dtype, layers
+        )
+        if self._quantized and kernel not in (
+            "auto",
+            "reference",
+            "megakernel",
+        ):
+            raise ValueError(
+                f"dtype='int8' serves via ops/quantized.py; "
+                f"kernel={kernel!r} does not apply (use 'auto' for "
+                "the XLA scan or 'megakernel' for the int8 Pallas "
+                "tiled megakernel)"
+            )
         m, n = A.shape
         d = params.W2.shape[1]
         self.params = params
@@ -191,6 +205,220 @@ class InferenceServer:
             b = jnp.concatenate(
                 [b, jnp.zeros((bucket - S, self.m), b.dtype)]
             )
+        if self._quantized:
+            x, z = self._compiled[bucket](self._qp, self._qd, b)
+        elif self.B is None:
+            x, z = self._compiled[bucket](self.params, self.A, b)
+        else:
+            x, z = self._compiled[bucket](self.params, self.A, self.B, b)
+        return x[:S], z[:S]
+
+
+class ShardedInferenceServer:
+    """Data-parallel serving over a device mesh.
+
+    Parameters and the dictionary are replicated on every chip; request
+    rows are sharded over the mesh's ``data`` axis, and each chip runs
+    the SAME single-chip serving stack (megakernel policy, bf16/int8
+    precision, general-B scan) on its row shard inside ``shard_map``.
+    Rows are independent, so the forward contains ZERO collectives and
+    throughput scales linearly with chips (ICI carries nothing; the
+    only cross-device traffic is the host scattering/gathering request
+    rows). No reference counterpart (the reference is single-GPU with
+    no serving story — SURVEY.md §3.1/§4.1).
+
+    Buckets must be multiples of the data-axis size T (each chip gets
+    ``bucket/T`` rows, statically shaped for AOT compilation); the
+    defaults are the single-chip power-of-two ladder scaled by T.
+
+    This sandbox has ONE real TPU chip, so multi-chip serving numbers
+    are not measurable here; correctness parity with InferenceServer is
+    pinned on the 8-virtual-device CPU mesh (tests/test_serve.py) and
+    the driver's multichip dryrun compiles/executes this path.
+
+    >>> mesh = make_mesh()                     # all devices, DP-only
+    >>> server = ShardedInferenceServer(params, A, mesh, max_batch=4096)
+    >>> x, z = server.solve(b)                 # b: (S, m), S <= 4096
+    """
+
+    def __init__(
+        self,
+        params: DLADMMParams,
+        A: Array,
+        mesh=None,
+        max_batch: int = 4096,
+        kernel: str = "auto",
+        buckets: Optional[Sequence[int]] = None,
+        dtype=None,
+        layers: Optional[int] = None,
+        B: Optional[Array] = None,
+    ):
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        from dladmm_tpu.parallel.mesh import (
+            DATA_AXIS,
+            MODEL_AXIS,
+            make_mesh,
+        )
+
+        if mesh is None:
+            mesh = make_mesh()
+        if MODEL_AXIS in mesh.shape and mesh.shape[MODEL_AXIS] != 1:
+            raise ValueError(
+                "serving is data-parallel only: rows are independent, "
+                f"so use a model=1 mesh (got {dict(mesh.shape)}); TP "
+                "serving would add collectives for no throughput"
+            )
+        T = mesh.shape[DATA_AXIS]
+        params, A, B, self._quantized = _prep_serving(
+            params, A, B, dtype, layers
+        )
+        m, n = A.shape
+        d = params.W2.shape[1]
+        self.mesh = mesh
+        self.m = m
+        self.T = T
+        if buckets is None:
+            if max_batch % T:
+                raise ValueError(
+                    f"max_batch {max_batch} not divisible by the data "
+                    f"axis size {T}"
+                )
+            buckets = tuple(b * T for b in _buckets(max_batch // T))
+        self.buckets = tuple(sorted(buckets))
+        for S in self.buckets:
+            if S % T:
+                raise ValueError(
+                    f"bucket {S} not divisible by data axis size {T}"
+                )
+        rep = NamedSharding(mesh, P())
+        self._rows = NamedSharding(mesh, P(DATA_AXIS))
+        self._compiled: Dict[int, jax.stages.Compiled] = {}
+
+        def _sharded(local_fn, n_operands):
+            # check_vma=False as in parallel/collectives.py: the local
+            # body composes pallas_calls/scans that cannot declare
+            # varying-axis types; there are no collectives to insert.
+            return jax.jit(
+                jax.shard_map(
+                    local_fn,
+                    mesh=mesh,
+                    in_specs=(P(),) * (n_operands - 1) + (P(DATA_AXIS),),
+                    out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+                    check_vma=False,
+                )
+            )
+
+        if self._quantized:
+            from dladmm_tpu.ops.quantized import (
+                dladmm_forward_int8,
+                dladmm_forward_int8_pallas,
+                int8_tile_batch,
+                quantize_params,
+            )
+
+            if kernel not in ("auto", "reference", "megakernel"):
+                raise ValueError(
+                    f"dtype='int8' serves via ops/quantized.py; "
+                    f"kernel={kernel!r} does not apply"
+                )
+            qp, qd = quantize_params(params, A)
+            self._qp = jax.device_put(qp, rep)
+            self._qd = jax.device_put(qd, rep)
+            for S in self.buckets:
+                Sl = S // T
+                use_mega = (
+                    kernel == "megakernel"
+                    and int8_tile_batch(m, n, d, Sl) is not None
+                )
+                if kernel == "megakernel" and not use_mega:
+                    raise ValueError(
+                        f"no int8 megakernel tile fits VMEM at the "
+                        f"per-chip rows {Sl} (bucket {S} / T={T}, "
+                        f"m={m}, n={n}); use kernel='auto'"
+                    )
+                local = (
+                    dladmm_forward_int8_pallas
+                    if use_mega
+                    else dladmm_forward_int8
+                )
+                fn = _sharded(
+                    lambda qp_, qd_, b_, _f=local: _f(qp_, qd_, b_)[:2], 3
+                )
+                self._compiled[S] = fn.lower(
+                    self._qp,
+                    self._qd,
+                    jax.ShapeDtypeStruct(
+                        (S, m), jnp.float32, sharding=self._rows
+                    ),
+                ).compile()
+            return
+        self.params = jax.device_put(params, rep)
+        self.A = jax.device_put(A, rep)
+        self.B = None if B is None else jax.device_put(B, rep)
+        if B is not None and kernel not in ("auto", "reference"):
+            raise ValueError(
+                f"kernel={kernel!r} requires identity B; general-B "
+                "serving runs the XLA scan"
+            )
+        for S in self.buckets:
+            Sl = S // T
+            if B is None:
+                # Kernel policy resolved at the PER-CHIP rows: each
+                # chip serves bucket/T rows of the bucket.
+                forward_fn, _ = resolve_forward(m, n, d, Sl, kernel=kernel)
+                fn = _sharded(
+                    lambda p, A_, b_, _f=forward_fn: _f(p, A_, b_)[:2], 3
+                )
+                self._compiled[S] = fn.lower(
+                    self.params,
+                    self.A,
+                    jax.ShapeDtypeStruct(
+                        (S, m), self.A.dtype, sharding=self._rows
+                    ),
+                ).compile()
+            else:
+                from dladmm_tpu.models.unroll import dladmm_forward
+
+                fn = _sharded(
+                    lambda p, A_, B_, b_: dladmm_forward(p, A_, b_, B=B_)[
+                        :2
+                    ],
+                    4,
+                )
+                self._compiled[S] = fn.lower(
+                    self.params,
+                    self.A,
+                    self.B,
+                    jax.ShapeDtypeStruct(
+                        (S, m), self.A.dtype, sharding=self._rows
+                    ),
+                ).compile()
+
+    def _bucket_for(self, S: int) -> int:
+        for b in self.buckets:
+            if S <= b:
+                return b
+        raise ValueError(
+            f"batch {S} exceeds max bucket {self.buckets[-1]}"
+        )
+
+    def solve(self, b: Array) -> Tuple[Array, Array]:
+        """b (S, m) -> (x (S, n), z (S, d)); pads rows to the bucket,
+        scatters them over the data axis, slices the gathered result
+        back. Padding and sharding are exact — rows are independent."""
+        S = b.shape[0]
+        if b.ndim != 2 or b.shape[1] != self.m:
+            raise ValueError(f"expected (S, {self.m}), got {b.shape}")
+        bucket = self._bucket_for(S)
+        want = jnp.float32 if self._quantized else self.A.dtype
+        b = np.asarray(b, dtype=want)
+        if bucket != S:
+            b = np.concatenate(
+                [b, np.zeros((bucket - S, self.m), b.dtype)]
+            )
+        b = jax.device_put(b, self._rows)
         if self._quantized:
             x, z = self._compiled[bucket](self._qp, self._qd, b)
         elif self.B is None:

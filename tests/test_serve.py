@@ -301,3 +301,108 @@ def test_batching_server_cancelled_future_skipped_worker_survives():
     finally:
         gate.set()
         bs.close()
+
+
+def _sharded_setup(m=20, n=40, K=4, S=64, d=None, general_b=False):
+    from dladmm_tpu.parallel.mesh import make_mesh
+
+    key = jax.random.PRNGKey(7)
+    kA, kB, kb = jax.random.split(key, 3)
+    A = make_dictionary(kA, m, n)
+    if general_b:
+        d = d or m + 4
+        B = make_dictionary(kB, m, d)
+        params = init_dladmm_params(A, K=K, B=B)
+        data = make_batch(kb, A, S, B=B)
+    else:
+        B = None
+        params = init_dladmm_params(A, K=K)
+        data = make_batch(kb, A, S)
+    mesh = make_mesh(data=4)
+    return mesh, A, B, params, data
+
+
+def test_sharded_server_matches_single_device():
+    """ShardedInferenceServer over a 4-device data mesh returns exactly
+    what the single-chip InferenceServer returns, at bucket sizes and
+    ragged row counts alike."""
+    from dladmm_tpu.serve import ShardedInferenceServer
+
+    mesh, A, B, params, data = _sharded_setup()
+    single = InferenceServer(params, A, max_batch=64)
+    shard = ShardedInferenceServer(params, A, mesh, max_batch=64)
+    assert all(b % 4 == 0 for b in shard.buckets)
+    for S in (4, 7, 33, 64):
+        xs, zs = shard.solve(data.b[:S])
+        x1, z1 = single.solve(data.b[:S])
+        assert xs.shape == (S, 40) and zs.shape == (S, 20)
+        np.testing.assert_allclose(
+            np.asarray(xs), np.asarray(x1), rtol=1e-5, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(zs), np.asarray(z1), rtol=1e-5, atol=1e-6
+        )
+
+
+def test_sharded_server_general_b_and_int8():
+    from dladmm_tpu.serve import ShardedInferenceServer
+
+    mesh, A, B, params, data = _sharded_setup(general_b=True)
+    single = InferenceServer(params, A, max_batch=32, B=B)
+    shard = ShardedInferenceServer(params, A, mesh, max_batch=32, B=B)
+    xs, zs = shard.solve(data.b[:13])
+    x1, z1 = single.solve(data.b[:13])
+    assert zs.shape == (13, 24)  # d = m + 4
+    np.testing.assert_allclose(
+        np.asarray(xs), np.asarray(x1), rtol=1e-6, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(zs), np.asarray(z1), rtol=1e-6, atol=1e-7
+    )
+
+    mesh, A, _, params, data = _sharded_setup()
+    qsingle = InferenceServer(params, A, max_batch=32, dtype="int8")
+    qshard = ShardedInferenceServer(
+        params, A, mesh, max_batch=32, dtype="int8"
+    )
+    xs, zs = qshard.solve(data.b[:9])
+    x1, z1 = qsingle.solve(data.b[:9])
+    # Same quantized weights, same math per row -> identical results.
+    np.testing.assert_allclose(
+        np.asarray(xs), np.asarray(x1), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(zs), np.asarray(z1), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_sharded_server_validation_and_batching_front_end():
+    from dladmm_tpu.parallel.mesh import make_mesh
+    from dladmm_tpu.serve import BatchingServer, ShardedInferenceServer
+
+    mesh, A, _, params, data = _sharded_setup()
+    with pytest.raises(ValueError, match="divisible"):
+        ShardedInferenceServer(params, A, mesh, max_batch=30)
+    with pytest.raises(ValueError, match="divisible"):
+        ShardedInferenceServer(params, A, mesh, buckets=[6])
+    with pytest.raises(ValueError, match="data-parallel only"):
+        ShardedInferenceServer(
+            params, A, make_mesh(data=2, model=2), max_batch=32
+        )
+
+    # The micro-batching front end composes with the sharded back end.
+    shard = ShardedInferenceServer(params, A, mesh, max_batch=64)
+    bs = BatchingServer(shard, max_delay_ms=5.0)
+    try:
+        futs = [bs.submit(data.b[i : i + 3]) for i in range(0, 12, 3)]
+        xr, zr, _ = dladmm_forward(params, A, data.b[:12])
+        for i, fut in enumerate(futs):
+            x, z = fut.result(timeout=60)
+            np.testing.assert_allclose(
+                np.asarray(x),
+                np.asarray(xr[3 * i : 3 * i + 3]),
+                rtol=1e-5,
+                atol=1e-6,
+            )
+    finally:
+        bs.close()
