@@ -51,6 +51,10 @@ SOFT_BUDGET_S = 390.0
 _PLATFORM = os.environ.get("DLADMM_BENCH_PLATFORM")
 _SMOKE = bool(os.environ.get("DLADMM_BENCH_SMOKE"))
 
+# A successful real-chip run saves its final line here so a later capture
+# during a relay outage can cite a THIS-round measurement as context.
+_SELF_CAPTURE = "bench_out/bench_self_capture.json"
+
 _HEALTH_CODE = (
     "import os, jax;"
     "p = os.environ.get('DLADMM_BENCH_PLATFORM');"
@@ -70,6 +74,9 @@ def _relay_health_check(timeout_s: float = 90.0, budget_s: float = 300.0):
     instead of the headline. Returns (ok, note)."""
     import subprocess
 
+    if os.environ.get("DLADMM_BENCH_FORCE_UNHEALTHY"):
+        # Test hook: exercise the diagnostic path without a real outage.
+        return False, "forced by DLADMM_BENCH_FORCE_UNHEALTHY"
     t0 = time.monotonic()
     note, i = "", 0
     while True:
@@ -106,7 +113,49 @@ def main() -> int:
     ok, health_note = _relay_health_check()
     if not ok:
         # Emit a parseable diagnostic line rather than hanging into the
-        # driver's timeout: the relay is down, not the framework.
+        # driver's timeout: the relay is down, not the framework. Attach
+        # the last session-measured number (clearly labeled, NOT the
+        # round's measurement) so a capture during an outage still
+        # carries context instead of a bare null.
+        detail = {"error": f"tpu relay unhealthy: {health_note}"}
+        try:
+            import glob
+
+            hist = {}
+            # Prefer a self-capture from earlier in THIS round (written
+            # by a successful bench.py run, e.g. the measurement battery
+            # scripts/measure_r3.sh phase 2) over older driver captures.
+            if os.path.exists(_SELF_CAPTURE):
+                with open(_SELF_CAPTURE) as f:
+                    rec = json.load(f)
+                if rec.get("value"):
+                    hist = {
+                        "value": rec["value"],
+                        "vs_baseline": rec.get("vs_baseline"),
+                        "source": _SELF_CAPTURE,
+                        "note": "measured earlier THIS round on the real "
+                        "chip by a successful bench.py run",
+                    }
+            if not hist:
+                for p in sorted(glob.glob("BENCH_r*.json")):
+                    with open(p) as f:
+                        rec = json.load(f)
+                    parsed = rec.get("parsed") or {}
+                    if parsed.get("value"):
+                        hist = {
+                            "value": parsed["value"],
+                            "vs_baseline": parsed.get("vs_baseline"),
+                            "source": p,
+                            "note": "previous round's driver capture",
+                        }
+            if hist:
+                detail["last_known_good"] = hist
+                detail["last_known_good_note"] = (
+                    "context only, NOT this capture's measurement — the "
+                    "relay was down at capture time"
+                )
+        except Exception:
+            pass
         print(
             json.dumps(
                 {
@@ -115,7 +164,7 @@ def main() -> int:
                     "value": None,
                     "unit": "layer_iter/s",
                     "vs_baseline": None,
-                    "detail": {"error": f"tpu relay unhealthy: {health_note}"},
+                    "detail": detail,
                 }
             ),
             flush=True,
@@ -376,7 +425,16 @@ def main() -> int:
     detail["wall_s"] = round(time.monotonic() - t0, 1)
     # Final (tail) line: headline + full detail. On a clean run the
     # driver parses this; on a wedge it parses the earlier headline.
-    print(json.dumps({**headline, "detail": detail}), flush=True)
+    final = {**headline, "detail": detail}
+    print(json.dumps(final), flush=True)
+    if not (_SMOKE or _PLATFORM):
+        # Real-chip run: persist as this-round context for outage captures.
+        try:
+            os.makedirs("bench_out", exist_ok=True)
+            with open(_SELF_CAPTURE, "w") as f:
+                json.dump(final, f)
+        except Exception:
+            pass
     return 0
 
 

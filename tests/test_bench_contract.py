@@ -41,6 +41,34 @@ def test_unhealthy_relay_prints_parseable_diagnostic(monkeypatch, capsys):
     assert "relay unhealthy" in payload["detail"]["error"]
 
 
+def test_unhealthy_relay_carries_last_known_good_context():
+    """During an outage the diagnostic line cites the most recent
+    measured number (self-capture from this round if present, else the
+    last driver capture), clearly labeled as context-only. Run as a
+    subprocess with the force hook so the real main() path is driven."""
+    env = dict(os.environ)
+    env["DLADMM_BENCH_FORCE_UNHEALTHY"] = "1"
+    out = subprocess.run(
+        [sys.executable, BENCH],
+        capture_output=True,
+        text=True,
+        timeout=120,
+        env=env,
+        cwd=REPO,
+    )
+    assert out.returncode == 1
+    payload = json.loads(out.stdout.strip().splitlines()[-1])
+    assert payload["value"] is None
+    detail = payload["detail"]
+    assert "relay unhealthy" in detail["error"]
+    # BENCH_r01.json ships in the repo with a parsed value, so context
+    # must be present (a fresher self-capture may shadow it).
+    lkg = detail["last_known_good"]
+    assert lkg["value"] > 0
+    assert lkg["source"]
+    assert "NOT this capture's measurement" in detail["last_known_good_note"]
+
+
 @pytest.mark.slow
 def test_smoke_mode_prints_headline_first_and_enriched_tail():
     """End-to-end on CPU in smoke mode: at least two JSON lines, the
