@@ -35,6 +35,31 @@ def make_dictionary(key: jax.Array, m: int, n: int, dtype=jnp.float32) -> Array:
     return A / jnp.linalg.norm(A, axis=0, keepdims=True)
 
 
+def problem_matrices(config, A: Array | None = None):
+    """Derive the problem's FIXED matrices (A, B) from the config seed.
+
+    The single shared derivation used by every entry point — fit,
+    fit_greedy, fit_sharded, and the serving CLI — so a checkpoint
+    trained under a config always reattaches to the identical
+    dictionary: ``k_dict`` is the first of the seed's 3-way split, and
+    the general z-dictionary B (when ``identity_B=False``) comes from
+    ``fold_in(k_dict, 1)`` so A is unchanged vs the identity-B presets
+    at the same seed. Pass A to keep a caller-supplied dictionary while
+    still deriving B.
+    """
+    p, t = config.problem, config.train
+    dtype = jnp.dtype(t.dtype)
+    k_dict = jax.random.split(jax.random.PRNGKey(t.seed), 3)[0]
+    if A is None:
+        A = make_dictionary(k_dict, p.m, p.n, dtype)
+    B = None
+    if not getattr(p, "identity_B", True):
+        B = make_dictionary(
+            jax.random.fold_in(k_dict, 1), p.m, p.d or p.m, dtype
+        )
+    return A, B
+
+
 def _bernoulli_gaussian(
     key: jax.Array, shape, sparsity: float, dtype
 ) -> Array:

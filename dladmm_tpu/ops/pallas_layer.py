@@ -197,16 +197,21 @@ def make_fused_step(
     eligibility first.
 
     interpret=None auto-selects Pallas interpret mode off-TPU so the same
-    tests run on the CPU backend (SURVEY.md §6.2-4).
+    tests run on the CPU backend (SURVEY.md §6.2-4). The backend check
+    is deferred to first trace: a module-level default instance exists
+    (fused_layer_step), and jax.default_backend() at import time would
+    initialize the pinned axon backend — hanging every import of the
+    package while the TPU relay is down.
     """
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
 
     @jax.custom_vjp
     def fused_core(A, b, x, z, lam, Ax, W1, W2, th1, th2, beta):
+        itp = (
+            jax.default_backend() != "tpu" if interpret is None else interpret
+        )
         return _fused_forward(
             A, b, x, z, lam, Ax, W1, W2, th1, th2, beta,
-            block_s=block_s, matmul_dtype=matmul_dtype, interpret=interpret,
+            block_s=block_s, matmul_dtype=matmul_dtype, interpret=itp,
         )
 
     def fwd(A, b, x, z, lam, Ax, W1, W2, th1, th2, beta):

@@ -14,6 +14,9 @@ import sys
 
 
 def main(argv=None) -> int:
+    from dladmm_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()  # DLADMM_PLATFORM=cpu for smoke runs / outages
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--config", default="synthetic_small")
     ap.add_argument("--steps", type=int, default=None)

@@ -173,6 +173,9 @@ def denoise_image(params, A, noisy, *, patch=8, stride=4, mask=None):
 
 
 def main(argv=None) -> int:
+    from dladmm_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()  # DLADMM_PLATFORM=cpu for smoke runs / outages
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--quick", action="store_true", help="tiny run for CI")
     ap.add_argument(

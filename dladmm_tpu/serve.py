@@ -571,3 +571,212 @@ class BatchingServer:
             s = b.shape[0]
             fut.set_result((x[off : off + s], z[off : off + s]))
             off += s
+
+
+def _load_ckpt_params(ckpt_dir: str, config, A, B) -> DLADMMParams:
+    """Restore trained params from a fit/fit_sharded checkpoint dir.
+
+    Checkpoints hold the full TrainState (params + opt_state + step), so
+    the restore template mirrors fit()'s optimizer selection exactly;
+    only .params is returned."""
+    from dladmm_tpu.models.unroll import init_dladmm_params
+    from dladmm_tpu.train.loop import _build_optimizer, make_train_state
+    from dladmm_tpu.utils.checkpoint import (
+        latest_step_dir,
+        restore_checkpoint,
+    )
+
+    p, t = config.problem, config.train
+    dtype = jnp.dtype(t.dtype)
+    params0 = init_dladmm_params(A, B, K=p.K, beta=p.beta, dtype=dtype)
+    latest = latest_step_dir(ckpt_dir)
+    if latest is None:
+        raise FileNotFoundError(
+            f"no step_N checkpoint under {ckpt_dir!r} — train one with "
+            f"`dladmm-train --config=... --ckpt-dir={ckpt_dir}`"
+        )
+    if getattr(t, "optimizer", "adam") == "fused_adam":
+        from dladmm_tpu.train.fused_adam import make_fused_adam_state
+
+        tmpl = make_fused_adam_state(params0, t.clip_norm, None)
+    else:
+        tmpl = make_train_state(params0, _build_optimizer(t), None)
+    return restore_checkpoint(
+        latest, tmpl._replace(compute_params=None)
+    ).params
+
+
+def _read_requests(spec: str) -> np.ndarray:
+    """Load request rows from ``file.npy`` or ``file.npz[:key]``."""
+    path, _, key = spec.partition(":")
+    data = np.load(path)
+    if isinstance(data, np.ndarray):
+        arr = data
+    else:
+        if not key:
+            key = "b" if "b" in data.files else data.files[0]
+        arr = data[key]
+    arr = np.asarray(arr, np.float32)
+    if arr.ndim == 1:
+        arr = arr[None, :]
+    if arr.ndim != 2:
+        raise ValueError(f"requests must be (S, m); got shape {arr.shape}")
+    return arr
+
+
+def main(argv=None) -> int:
+    """CLI: serve a trained solver over a file of requests (or a
+    synthetic demo batch) through the AOT bucketed server.
+
+    The reference has no serving counterpart (SURVEY.md §3.1); this is
+    the batch front door of the production path — the library surface
+    (InferenceServer / ShardedInferenceServer / BatchingServer) is the
+    one a real service embeds.
+    """
+    import argparse
+    import json
+    import time
+
+    from dladmm_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()  # DLADMM_PLATFORM=cpu for smoke runs / outages
+    ap = argparse.ArgumentParser(description=main.__doc__)
+    ap.add_argument("--config", default="synthetic_small")
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--ckpt-dir", help="fit checkpoint dir (latest step)")
+    src.add_argument(
+        "--import-torch",
+        metavar="CKPT",
+        help="serve weights from a reference-style PyTorch checkpoint",
+    )
+    ap.add_argument(
+        "--allow-pickle",
+        action="store_true",
+        help="permit --import-torch to fully unpickle torch.save(net) "
+        "whole-module checkpoints (trusted files only)",
+    )
+    ap.add_argument(
+        "--input",
+        default=None,
+        metavar="FILE[:key]",
+        help="request rows (S, m) from .npy or .npz; default key 'b'",
+    )
+    ap.add_argument(
+        "--demo",
+        type=int,
+        default=None,
+        metavar="S",
+        help="serve S synthetic requests from the config's eval "
+        "distribution instead of --input, and report NMSE vs the "
+        "ground truth",
+    )
+    ap.add_argument("--out", default=None, help="write x, z to this .npz")
+    ap.add_argument(
+        "--dtype",
+        choices=["float32", "bfloat16", "int8"],
+        default="float32",
+        help="serving precision (quality deltas measured in BASELINE.md)",
+    )
+    ap.add_argument(
+        "--kernel", choices=["auto", "megakernel", "reference"], default="auto"
+    )
+    ap.add_argument(
+        "--layers",
+        type=int,
+        default=None,
+        help="early exit: serve only the first k trained layers",
+    )
+    ap.add_argument("--max-batch", type=int, default=None)
+    ap.add_argument(
+        "--sharded",
+        action="store_true",
+        help="data-parallel serving over all visible devices "
+        "(ShardedInferenceServer)",
+    )
+    args = ap.parse_args(argv)
+    if args.input is None and args.demo is None:
+        ap.error("one of --input or --demo is required")
+
+    from dladmm_tpu.data.synthetic import problem_matrices
+    from dladmm_tpu.utils.config import get_config
+
+    cfg = get_config(args.config)
+    A, B = problem_matrices(cfg)
+    if args.ckpt_dir:
+        params = _load_ckpt_params(args.ckpt_dir, cfg, A, B)
+    else:
+        from dladmm_tpu.utils.torch_compat import from_torch
+
+        params = from_torch(
+            args.import_torch, A=np.asarray(A), allow_pickle=args.allow_pickle
+        )
+
+    demo = None
+    if args.demo is not None:
+        from dladmm_tpu.data.synthetic import make_batch
+
+        p, t = cfg.problem, cfg.train
+        # fit()'s eval key: demo NMSE is comparable to training evals.
+        k_eval = jax.random.split(jax.random.PRNGKey(t.seed), 3)[1]
+        demo = make_batch(
+            k_eval, A, args.demo, p.sparsity_x, p.sparsity_e, B=B
+        )
+        requests = np.asarray(demo.b, np.float32)
+    else:
+        requests = _read_requests(args.input)
+
+    dtype = {
+        "float32": None,
+        "bfloat16": jnp.bfloat16,
+        "int8": "int8",
+    }[args.dtype]
+    max_batch = args.max_batch or max(1, requests.shape[0])
+    cls = ShardedInferenceServer if args.sharded else InferenceServer
+    t_build = time.monotonic()
+    server = cls(
+        params,
+        A,
+        max_batch=max_batch,
+        kernel=args.kernel,
+        dtype=dtype,
+        layers=args.layers,
+        B=B,
+    )
+    build_s = time.monotonic() - t_build
+
+    t_solve = time.monotonic()
+    x, z = server.solve(jnp.asarray(requests))
+    x = np.asarray(jax.block_until_ready(x))
+    z = np.asarray(z)
+    solve_s = time.monotonic() - t_solve
+
+    if args.out:
+        np.savez(args.out, x=x, z=z)
+    summary = {
+        "requests": int(requests.shape[0]),
+        "config": args.config,
+        "dtype": args.dtype,
+        "kernel": args.kernel,
+        "layers": args.layers,
+        "sharded": bool(args.sharded),
+        "buckets": list(server.buckets),
+        "aot_build_s": round(build_s, 3),
+        # Single-dispatch wall time: includes the host<->device RTT, so
+        # it is NOT a device-latency benchmark (bench/serving.py is).
+        "solve_wall_s": round(solve_s, 4),
+        "out": args.out,
+    }
+    if demo is not None:
+        from dladmm_tpu.metrics.core import nmse_db
+
+        summary["nmse_db"] = round(
+            float(nmse_db(jnp.asarray(x), demo.x_star)), 2
+        )
+    print(json.dumps(summary), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())

@@ -490,25 +490,14 @@ def fit(
 
     p, t = config.problem, config.train
     key = jax.random.PRNGKey(t.seed)
-    k_dict, k_eval, k_train = jax.random.split(key, 3)
+    _, k_eval, k_train = jax.random.split(key, 3)
     dtype = jnp.dtype(t.dtype)
-    if A is None:
-        from dladmm_tpu.data.synthetic import make_dictionary
+    # One shared derivation of the fixed matrices (identity_B fast path:
+    # B is None — SURVEY.md §2 point 4; general B: b = A x* + B z* and
+    # the whole train/eval path runs the general recurrence).
+    from dladmm_tpu.data.synthetic import problem_matrices
 
-        A = make_dictionary(k_dict, p.m, p.n, dtype)
-    B = None  # identity_B benchmark fast path (SURVEY.md §2 point 4)
-    if not getattr(p, "identity_B", True):
-        # General z-dictionary B (m, d): its own Gaussian unit-column
-        # dictionary, deterministically derived from the A key so A is
-        # unchanged vs the identity_B presets at the same seed. Data
-        # becomes b = A x* + B z* and the whole train/eval path (manual
-        # general-B VJP, LADMM baseline, metrics) runs the general
-        # recurrence.
-        from dladmm_tpu.data.synthetic import make_dictionary
-
-        B = make_dictionary(
-            jax.random.fold_in(k_dict, 1), p.m, p.d or p.m, dtype
-        )
+    A, B = problem_matrices(config, A)
 
     params = (
         init_params
@@ -677,12 +666,11 @@ def fit_greedy(
             "--greedy)"
         )
     key = jax.random.PRNGKey(t.seed)
-    k_dict, k_eval, k_train = jax.random.split(key, 3)
+    _, k_eval, k_train = jax.random.split(key, 3)
     dtype = jnp.dtype(t.dtype)
-    if A is None:
-        from dladmm_tpu.data.synthetic import make_dictionary
+    from dladmm_tpu.data.synthetic import problem_matrices
 
-        A = make_dictionary(k_dict, p.m, p.n, dtype)
+    A, _ = problem_matrices(config, A)
 
     params = init_dladmm_params(A, K=p.K, beta=p.beta, dtype=dtype)
     per_stage = steps_per_stage or max(1, t.steps // (2 * p.K))
@@ -935,23 +923,15 @@ def fit_sharded(
         mesh = pmesh.make_mesh(data=s.data_axis, model=s.model_axis)
 
     key = jax.random.PRNGKey(t.seed)
-    k_dict, k_eval, k_train = jax.random.split(key, 3)
+    _, k_eval, k_train = jax.random.split(key, 3)
     dtype = jnp.dtype(t.dtype)
-    if A is None:
-        from dladmm_tpu.data.synthetic import make_dictionary
+    # Same derivation as fit() (shared helper): a sharded run sees the
+    # identical problem instance as the single-device run at the same
+    # seed (parity tests rely on this). B is replicated — DP shards
+    # only the batch.
+    from dladmm_tpu.data.synthetic import problem_matrices
 
-        A = make_dictionary(k_dict, p.m, p.n, dtype)
-    B = None
-    if general_b:
-        # Same derivation as fit(): B's key is fold_in(k_dict, 1), so a
-        # sharded general-B run sees the identical problem instance as
-        # the single-device run at the same seed (parity tests rely on
-        # this). B is replicated — DP shards only the batch.
-        from dladmm_tpu.data.synthetic import make_dictionary
-
-        B = make_dictionary(
-            jax.random.fold_in(k_dict, 1), p.m, p.d or p.m, dtype
-        )
+    A, B = problem_matrices(config, A)
 
     sh = pmesh.param_shardings_tp(mesh, layout)
     A = jax.device_put(A, sh["A"])

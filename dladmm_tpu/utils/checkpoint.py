@@ -56,6 +56,10 @@ def _abstract_leaf(x):
 
 def restore_checkpoint(path: str, template: Any) -> Any:
     """Restore into the structure/shapes/dtypes/shardings of ``template``."""
+    # orbax rejects relative paths outright ("Checkpoint path should be
+    # absolute"); save_checkpoint already absolutizes, so mirror it here
+    # for CLI-supplied relative --ckpt-dir values.
+    path = os.path.abspath(path)
     if _HAS_ORBAX and os.path.isdir(path):
         ckpt = ocp.StandardCheckpointer()
         abstract = jax.tree.map(_abstract_leaf, template)

@@ -98,6 +98,21 @@ class Config:
 
 
 PRESETS = {
+    # Seconds-long CPU sanity config: verify an install / smoke-test a
+    # pipeline end-to-end (train -> eval -> checkpoint -> serve) before
+    # paying for a real recipe. Not a benchmark shape.
+    "smoke": Config(
+        name="smoke",
+        problem=ProblemConfig(m=32, n=64, K=4),
+        train=TrainConfig(
+            batch=16,
+            steps=60,
+            lr=1e-3,
+            eval_every=30,
+            eval_batch=64,
+            layer_loss="uniform",
+        ),
+    ),
     # BASELINE.json:7 — CPU-runnable PR1 reference config. Defaults are
     # the measured-best quality recipe (BASELINE.md): 10k cosine steps,
     # clipped, DEEP SUPERVISION (round 2: -17.5 dB / residual 0.020 vs

@@ -406,3 +406,90 @@ def test_sharded_server_validation_and_batching_front_end():
             )
     finally:
         bs.close()
+
+
+class TestServeCLI:
+    """dladmm-serve front door: checkpoint reattach + demo/input modes."""
+
+    @pytest.fixture(scope="class")
+    def smoke_ckpt(self, tmp_path_factory):
+        from dladmm_tpu.train.loop import fit
+        from dladmm_tpu.utils.config import get_config
+
+        ckpt = tmp_path_factory.mktemp("serve_cli") / "ckpt"
+        cfg = get_config("smoke")
+        params, history = fit(cfg, ckpt_dir=str(ckpt))
+        return str(ckpt), cfg, params, history
+
+    def _run(self, argv, capsys):
+        import json
+
+        from dladmm_tpu.serve import main
+
+        assert main(argv) == 0
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    def test_demo_reports_trained_nmse(self, smoke_ckpt, capsys):
+        ckpt, cfg, params, history = smoke_ckpt
+        out = self._run(
+            ["--config=smoke", "--ckpt-dir", ckpt, "--demo", "64"], capsys
+        )
+        assert out["requests"] == 64
+        # The CLI rebuilt the SAME dictionary and restored the SAME
+        # params, and its demo batch is fit()'s eval batch (same key):
+        # NMSE must match the final training eval, not the LADMM init.
+        assert out["nmse_db"] == pytest.approx(
+            history[-1]["nmse_db"], abs=0.05
+        )
+
+    def test_input_file_matches_library_solve(
+        self, smoke_ckpt, tmp_path, capsys
+    ):
+        ckpt, cfg, params, _ = smoke_ckpt
+        from dladmm_tpu.data.synthetic import problem_matrices
+
+        A, _B = problem_matrices(cfg)
+        rng = np.random.default_rng(0)
+        b = rng.normal(size=(9, A.shape[0])).astype(np.float32)
+        req = tmp_path / "req.npz"
+        out_npz = tmp_path / "out.npz"
+        np.savez(req, b=b)
+        summary = self._run(
+            [
+                "--config=smoke",
+                "--ckpt-dir",
+                ckpt,
+                "--input",
+                str(req),
+                "--out",
+                str(out_npz),
+            ],
+            capsys,
+        )
+        assert summary["requests"] == 9
+        got = np.load(out_npz)
+        server = InferenceServer(params, A, max_batch=16)
+        x, z = server.solve(jnp.asarray(b))
+        np.testing.assert_allclose(got["x"], np.asarray(x), rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(got["z"], np.asarray(z), rtol=1e-5, atol=1e-6)
+
+    def test_torch_import_and_option_surface(self, smoke_ckpt, tmp_path, capsys):
+        ckpt, cfg, params, _ = smoke_ckpt
+        from dladmm_tpu.utils.torch_compat import save_torch
+
+        tckpt = tmp_path / "net.pt"
+        save_torch(params, tckpt)
+        out = self._run(
+            [
+                "--config=smoke",
+                "--import-torch",
+                str(tckpt),
+                "--demo",
+                "32",
+                "--dtype=bfloat16",
+                "--layers=2",
+            ],
+            capsys,
+        )
+        assert out["layers"] == 2 and out["dtype"] == "bfloat16"
+        assert np.isfinite(out["nmse_db"])
