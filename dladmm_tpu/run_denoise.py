@@ -144,6 +144,51 @@ def train_denoiser(
     return params
 
 
+def save_denoiser(path, params, A) -> None:
+    """Persist a trained denoiser (net + its patch dictionary) as one
+    portable .npz — the dictionary is data the net was trained against,
+    so it travels with the weights (unlike fit checkpoints, whose A is
+    re-derivable from the config seed)."""
+    import numpy as np
+
+    np.savez(
+        path,
+        A=np.asarray(A),
+        **{f: np.asarray(v) for f, v in params._asdict().items()},
+    )
+
+
+def load_denoiser(path):
+    """Inverse of save_denoiser: returns (params, A)."""
+    import numpy as np
+
+    from dladmm_tpu.models.unroll import DLADMMParams
+
+    d = np.load(path)
+    params = DLADMMParams(
+        **{f: jnp.asarray(d[f]) for f in DLADMMParams._fields}
+    )
+    return params, jnp.asarray(d["A"])
+
+
+def _load_gray_image(spec: str):
+    """Grayscale image from ``file.npy`` or ``file.npz[:key]``, float32.
+
+    Values outside [0, 1] are rescaled by the array max (8-bit arrays
+    land in [0, 1] so PSNR's data_range=1 convention holds)."""
+    import numpy as np
+
+    path, _, key = spec.partition(":")
+    data = np.load(path)
+    arr = data if isinstance(data, np.ndarray) else data[key or data.files[0]]
+    arr = np.asarray(arr, np.float32)
+    if arr.ndim != 2:
+        raise SystemExit(f"--input-image must be 2-D grayscale; got {arr.shape}")
+    if arr.max() > 1.0:
+        arr = arr / arr.max()
+    return jnp.asarray(arr)
+
+
 def denoise_image(params, A, noisy, *, patch=8, stride=4, mask=None):
     """Restore one image with a trained net; returns the reconstruction.
 
@@ -212,12 +257,54 @@ def main(argv=None) -> int:
     ap.add_argument("--images", type=int, default=4)
     ap.add_argument("--size", type=int, default=128)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument(
+        "--save",
+        default=None,
+        metavar="NET.npz",
+        help="persist the trained denoiser (net + dictionary) for reuse",
+    )
+    ap.add_argument(
+        "--load",
+        default=None,
+        metavar="NET.npz",
+        help="reuse a --save'd denoiser instead of training (dictionary "
+        "flags are rejected: the saved net carries its own A)",
+    )
+    ap.add_argument(
+        "--input-image",
+        default=None,
+        metavar="IMG.npy[:key]",
+        help="restore this 2-D grayscale array (an ALREADY-corrupted "
+        "user image) instead of the synthetic benchmark; inpaint mode "
+        "reads the known-pixel mask from --mask",
+    )
+    ap.add_argument(
+        "--mask",
+        default=None,
+        metavar="MASK.npy[:key]",
+        help="known-observation mask (1 = observed) for --input-image "
+        "in inpaint mode",
+    )
+    ap.add_argument(
+        "--output-image",
+        default=None,
+        metavar="OUT.npy",
+        help="write the --input-image reconstruction here",
+    )
     args = ap.parse_args(argv)
     if args.dict_mat and args.dictionary == "learned":
         ap.error(
             "--dict-mat and --dict=learned are mutually exclusive: the "
             "fixture would be silently re-learned away"
         )
+    if args.load and (args.dict_mat or args.dictionary == "learned"):
+        ap.error(
+            "--load carries its own dictionary; drop --dict/--dict-mat"
+        )
+    if args.mask and not args.input_image:
+        ap.error("--mask only applies to --input-image")
+    if args.input_image and args.mode == "inpaint" and not args.mask:
+        ap.error("inpaint mode needs --mask with --input-image")
     if args.quick:
         args.steps, args.images, args.size, args.layers = 60, 2, 64, 8
 
@@ -237,6 +324,14 @@ def main(argv=None) -> int:
             )
     key = jax.random.PRNGKey(args.seed)
     k_train, k_test = jax.random.split(key)
+
+    if args.load:
+        params, A = load_denoiser(args.load)
+        print(
+            f"loaded denoiser {args.load}: K={params.K}, A {A.shape}",
+            file=sys.stderr,
+        )
+        return _apply_or_benchmark(args, params, A, k_test)
 
     train_imgs = [
         synthetic_image(k, args.size)
@@ -265,6 +360,37 @@ def main(argv=None) -> int:
         mode=args.mode,
         layer_loss=None if args.layer_loss == "none" else args.layer_loss,
     )
+    if args.save:
+        save_denoiser(args.save, params, A)
+        print(f"saved denoiser to {args.save}", file=sys.stderr)
+    return _apply_or_benchmark(args, params, A, k_test)
+
+
+def _apply_or_benchmark(args, params, A, k_test) -> int:
+    """Shared tail: restore the user's --input-image, or run the
+    3-image synthetic PSNR benchmark."""
+    from dladmm_tpu.data.images import synthetic_image
+    from dladmm_tpu.metrics.core import psnr
+
+    if args.input_image:
+        import numpy as np
+
+        noisy = _load_gray_image(args.input_image)
+        mask = _load_gray_image(args.mask) if args.mask else None
+        recon = denoise_image(params, A, noisy, mask=mask)
+        if args.output_image:
+            np.save(args.output_image, np.asarray(recon))
+        print(
+            json.dumps(
+                {
+                    "mode": args.mode,
+                    "input_image": args.input_image,
+                    "shape": list(noisy.shape),
+                    "output_image": args.output_image,
+                }
+            )
+        )
+        return 0
 
     results = []
     for i, k in enumerate(jax.random.split(k_test, 3)):
@@ -290,7 +416,7 @@ def main(argv=None) -> int:
         json.dumps(
             {
                 "mode": args.mode,
-                "dict": args.dictionary,
+                "dict": "loaded" if args.load else args.dictionary,
                 "results": results,
                 "mean_psnr_gain_db": round(mean_gain, 2),
             }

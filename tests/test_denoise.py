@@ -126,3 +126,69 @@ def test_learn_dictionary_improves_sparse_fit():
         return float(0.5 * jnp.sum(r * r) + lam * jnp.sum(jnp.abs(X)))
 
     assert objective(D) < 0.9 * objective(D0), (objective(D), objective(D0))
+
+
+def test_save_load_denoiser_roundtrip_and_cli_apply(tmp_path, capsys):
+    """save_denoiser/load_denoiser round-trip bit-exactly, and the CLI's
+    --load --input-image path restores a user-supplied corrupted array."""
+    import json
+
+    from dladmm_tpu.run_denoise import (
+        denoise_image,
+        load_denoiser,
+        main,
+        save_denoiser,
+        train_denoiser,
+    )
+
+    A = dct_dictionary()
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    params = train_denoiser(
+        A, [synthetic_image(k1, 64)], K=6, steps=30, density=0.1, log_every=0
+    )
+    net = tmp_path / "net.npz"
+    save_denoiser(net, params, A)
+    params2, A2 = load_denoiser(net)
+    assert jax.tree.all(
+        jax.tree.map(lambda a, b: bool(jnp.array_equal(a, b)), params, params2)
+    )
+    np.testing.assert_array_equal(np.asarray(A), np.asarray(A2))
+
+    clean = synthetic_image(k2, 64)
+    noisy = salt_pepper(k3, clean, 0.1)
+    inp = tmp_path / "noisy.npy"
+    out = tmp_path / "recon.npy"
+    np.save(inp, np.asarray(noisy))
+    assert (
+        main(
+            [
+                "--load",
+                str(net),
+                "--input-image",
+                str(inp),
+                "--output-image",
+                str(out),
+            ]
+        )
+        == 0
+    )
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["shape"] == [64, 64]
+    # CLI reconstruction == direct library reconstruction, exactly.
+    np.testing.assert_allclose(
+        np.load(out), np.asarray(denoise_image(params, A, noisy)), atol=1e-6
+    )
+
+
+def test_denoise_cli_flag_validation(tmp_path):
+    import pytest
+
+    from dladmm_tpu.run_denoise import main
+
+    with pytest.raises(SystemExit):
+        main(["--load", "x.npz", "--dict=learned"])
+    with pytest.raises(SystemExit):
+        main(["--mask", "m.npy"])  # --mask without --input-image
+    with pytest.raises(SystemExit):  # inpaint user image needs a mask
+        main(["--load", "x.npz", "--mode=inpaint", "--input-image", "i.npy"])
