@@ -12,6 +12,10 @@ import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from dladmm_tpu.utils.platform import apply_platform_env
+
+apply_platform_env()  # DLADMM_PLATFORM=cpu runs this off-TPU
+
 import jax
 import jax.numpy as jnp
 
