@@ -211,3 +211,17 @@ def test_timing_runner_cache_evicts_dead_steps():
     assert len(list(timing._RUNNERS.keys())) == 0 or all(
         k is not None for k in timing._RUNNERS.keys()
     )
+
+
+def test_apply_platform_env(monkeypatch):
+    """DLADMM_PLATFORM must drive jax_platforms (the sandbox pins
+    JAX_PLATFORMS, so this config path is every CLI's escape hatch)."""
+    import jax
+
+    from dladmm_tpu.utils.platform import apply_platform_env
+
+    monkeypatch.delenv("DLADMM_PLATFORM", raising=False)
+    assert apply_platform_env() is None  # unset -> no-op
+    monkeypatch.setenv("DLADMM_PLATFORM", "cpu")
+    assert apply_platform_env() == "cpu"
+    assert jax.config.jax_platforms == "cpu"
