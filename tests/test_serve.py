@@ -493,3 +493,47 @@ class TestServeCLI:
         )
         assert out["layers"] == 2 and out["dtype"] == "bfloat16"
         assert np.isfinite(out["nmse_db"])
+
+    def test_fused_adam_checkpoint_reattach(self, tmp_path, capsys):
+        """The restore template must mirror fit()'s optimizer selection:
+        a fused-Adam checkpoint (FusedAdamState opt_state) reattaches
+        through the same config."""
+        import dataclasses
+        import json
+
+        from dladmm_tpu.serve import main
+        from dladmm_tpu.train.loop import fit
+        from dladmm_tpu.utils.config import PRESETS, get_config
+
+        cfg = get_config("smoke")
+        cfg = dataclasses.replace(
+            cfg,
+            train=dataclasses.replace(
+                cfg.train, optimizer="fused_adam", clip_mode="delayed"
+            ),
+        )
+        ckpt = tmp_path / "ckpt"
+        params, history = fit(cfg, ckpt_dir=str(ckpt))
+        # Register the modified config under a temp name for the CLI.
+        PRESETS["_smoke_fused_test"] = dataclasses.replace(
+            cfg, name="_smoke_fused_test"
+        )
+        try:
+            assert (
+                main(
+                    [
+                        "--config=_smoke_fused_test",
+                        "--ckpt-dir",
+                        str(ckpt),
+                        "--demo",
+                        "64",
+                    ]
+                )
+                == 0
+            )
+        finally:
+            del PRESETS["_smoke_fused_test"]
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["nmse_db"] == pytest.approx(
+            history[-1]["nmse_db"], abs=0.05
+        )
