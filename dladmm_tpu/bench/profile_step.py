@@ -15,6 +15,7 @@ import collections
 import glob
 import gzip
 import json
+import os
 import sys
 import tempfile
 
@@ -32,7 +33,12 @@ def capture(steps: int = 12, which: str = "shipped"):
     )
     from dladmm_tpu.utils import profiling
 
-    m, n, K, S = 1000, 2000, 20, 1024
+    # DLADMM_BENCH_SMOKE validates the trace->summary control flow on
+    # tiny CPU shapes (pre-flight for the unattended battery).
+    smoke = bool(os.environ.get("DLADMM_BENCH_SMOKE"))
+    if smoke:
+        jax.config.update("jax_platforms", "cpu")
+    m, n, K, S = (100, 200, 4, 32) if smoke else (1000, 2000, 20, 1024)
     key = jax.random.PRNGKey(0)
     kA, kb = jax.random.split(key)
     A = make_dictionary(kA, m, n)

@@ -108,7 +108,18 @@ def main(argv=None) -> int:
         choices=["float32", "bfloat16", "int8", "both", "all"],
         default="float32",
     )
+    ap.add_argument(
+        "--smoke",
+        action="store_true",
+        help="tiny shapes/buckets on CPU: validates the harness control "
+        "flow end-to-end (pre-flight for the unattended measurement "
+        "battery) — numbers are meaningless",
+    )
     args = ap.parse_args(argv)
+    shape = {}
+    if args.smoke:
+        jax.config.update("jax_platforms", "cpu")
+        shape = dict(m=32, n=64, K=4, buckets=(1, 8, 64))
     dtypes = {
         "both": ["float32", "bfloat16"],
         "all": ["float32", "bfloat16", "int8"],
@@ -116,9 +127,12 @@ def main(argv=None) -> int:
     results = []
     for name in dtypes:
         result = measure(
-            dtype={"bfloat16": jnp.bfloat16, "int8": "int8"}.get(name)
+            dtype={"bfloat16": jnp.bfloat16, "int8": "int8"}.get(name),
+            **shape,
         )
         result["dtype"] = name
+        if args.smoke:
+            result["SMOKE_MODE"] = "tiny shapes — numbers meaningless"
         results.append(result)
     out = json.dumps(results[0] if len(results) == 1 else results, indent=2)
     print(out)
