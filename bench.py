@@ -122,32 +122,47 @@ def main() -> int:
             import glob
 
             hist = {}
-            # Prefer a self-capture from earlier in THIS round (written
-            # by a successful bench.py run, e.g. the measurement battery
-            # scripts/measure_r3.sh phase 2) over older driver captures.
-            if os.path.exists(_SELF_CAPTURE):
-                with open(_SELF_CAPTURE) as f:
-                    rec = json.load(f)
-                if rec.get("value"):
-                    hist = {
-                        "value": rec["value"],
-                        "vs_baseline": rec.get("vs_baseline"),
-                        "source": _SELF_CAPTURE,
-                        "note": "measured earlier THIS round on the real "
-                        "chip by a successful bench.py run",
-                    }
-            if not hist:
-                for p in sorted(glob.glob("BENCH_r*.json")):
+            # Most recent driver capture (per-file try: one corrupt file
+            # must not discard context the others provide).
+            for p in sorted(glob.glob("BENCH_r*.json")):
+                try:
                     with open(p) as f:
+                        parsed = json.load(f).get("parsed") or {}
+                except Exception:
+                    continue
+                if parsed.get("value"):
+                    hist = {
+                        "value": parsed["value"],
+                        "vs_baseline": parsed.get("vs_baseline"),
+                        "source": p,
+                        "note": "most recent driver capture",
+                    }
+            # A self-capture (written by a successful bench.py run, e.g.
+            # the measurement battery) wins only if NEWER than that
+            # driver capture — a stale file from an earlier round must
+            # not shadow fresher driver data or claim this round.
+            try:
+                newest_driver = max(
+                    (
+                        os.path.getmtime(p)
+                        for p in glob.glob("BENCH_r*.json")
+                    ),
+                    default=0.0,
+                )
+                if os.path.getmtime(_SELF_CAPTURE) > newest_driver:
+                    with open(_SELF_CAPTURE) as f:
                         rec = json.load(f)
-                    parsed = rec.get("parsed") or {}
-                    if parsed.get("value"):
+                    if rec.get("value"):
                         hist = {
-                            "value": parsed["value"],
-                            "vs_baseline": parsed.get("vs_baseline"),
-                            "source": p,
-                            "note": "previous round's driver capture",
+                            "value": rec["value"],
+                            "vs_baseline": rec.get("vs_baseline"),
+                            "source": _SELF_CAPTURE,
+                            "measured_at": rec.get("measured_at"),
+                            "note": "self-capture from a successful "
+                            "bench.py run after the last driver capture",
                         }
+            except OSError:
+                pass  # no self-capture on disk
             if hist:
                 detail["last_known_good"] = hist
                 detail["last_known_good_note"] = (
@@ -428,11 +443,12 @@ def main() -> int:
     final = {**headline, "detail": detail}
     print(json.dumps(final), flush=True)
     if not (_SMOKE or _PLATFORM):
-        # Real-chip run: persist as this-round context for outage captures.
+        # Real-chip run: persist as context for outage captures, wall-
+        # clock-stamped so staleness is checkable by readers too.
         try:
             os.makedirs("bench_out", exist_ok=True)
             with open(_SELF_CAPTURE, "w") as f:
-                json.dump(final, f)
+                json.dump({**final, "measured_at": time.time()}, f)
         except Exception:
             pass
     return 0

@@ -35,6 +35,29 @@ def make_dictionary(key: jax.Array, m: int, n: int, dtype=jnp.float32) -> Array:
     return A / jnp.linalg.norm(A, axis=0, keepdims=True)
 
 
+def seed_keys(config):
+    """The config seed's canonical 3-way split: (k_dict, k_eval,
+    k_train). The ONE derivation every entry point shares — fit /
+    fit_greedy / fit_sharded consume all three, problem_matrices takes
+    k_dict, and the serving CLI's --demo takes k_eval so its NMSE is
+    comparable to training evals."""
+    return tuple(jax.random.split(jax.random.PRNGKey(config.train.seed), 3))
+
+
+def load_array_spec(spec: str):
+    """Load a numpy array from ``file.npy`` or ``file.npz[:key]`` (npz
+    default key: 'b' if present, else the first array). Shared by the
+    serving and denoise CLIs so the request/image file grammar cannot
+    drift between them."""
+    import numpy as np
+
+    path, _, key = spec.partition(":")
+    data = np.load(path)
+    if isinstance(data, np.ndarray):
+        return data
+    return data[key or ("b" if "b" in data.files else data.files[0])]
+
+
 def problem_matrices(config, A: Array | None = None):
     """Derive the problem's FIXED matrices (A, B) from the config seed.
 
@@ -49,7 +72,7 @@ def problem_matrices(config, A: Array | None = None):
     """
     p, t = config.problem, config.train
     dtype = jnp.dtype(t.dtype)
-    k_dict = jax.random.split(jax.random.PRNGKey(t.seed), 3)[0]
+    k_dict = seed_keys(config)[0]
     if A is None:
         A = make_dictionary(k_dict, p.m, p.n, dtype)
     B = None

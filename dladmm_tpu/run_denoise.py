@@ -171,22 +171,45 @@ def load_denoiser(path):
     return params, jnp.asarray(d["A"])
 
 
-def _load_gray_image(spec: str):
-    """Grayscale image from ``file.npy`` or ``file.npz[:key]``, float32.
+def _load_gray_image(spec: str, what: str = "--input-image"):
+    """Grayscale image from ``file.npy`` or ``file.npz[:key]`` (shared
+    grammar: data.synthetic.load_array_spec), float32 in [0, 1].
 
-    Values outside [0, 1] are rescaled by the array max (8-bit arrays
-    land in [0, 1] so PSNR's data_range=1 convention holds)."""
+    Integer arrays are rescaled by their DTYPE range (a dim uint8 photo
+    keeps its brightness — rescaling by the array max would contrast-
+    stretch it and desync the output scale from the user's original).
+    Float arrays must already be in [0, 1]."""
     import numpy as np
 
-    path, _, key = spec.partition(":")
-    data = np.load(path)
-    arr = data if isinstance(data, np.ndarray) else data[key or data.files[0]]
-    arr = np.asarray(arr, np.float32)
-    if arr.ndim != 2:
-        raise SystemExit(f"--input-image must be 2-D grayscale; got {arr.shape}")
-    if arr.max() > 1.0:
-        arr = arr / arr.max()
+    from dladmm_tpu.data.synthetic import load_array_spec
+
+    raw = np.asarray(load_array_spec(spec))
+    if raw.ndim != 2:
+        raise SystemExit(f"{what} must be 2-D grayscale; got {raw.shape}")
+    if np.issubdtype(raw.dtype, np.integer):
+        arr = raw.astype(np.float32) / np.iinfo(raw.dtype).max
+    else:
+        arr = raw.astype(np.float32)
+        if arr.min() < 0.0 or arr.max() > 1.0:
+            raise SystemExit(
+                f"{what}: float values must be in [0, 1] (got "
+                f"[{arr.min():.3g}, {arr.max():.3g}]); rescale first"
+            )
     return jnp.asarray(arr)
+
+
+def _load_mask(spec: str):
+    """Known-observation mask from ``file.npy``/``file.npz[:key]``:
+    nonzero = observed. Accepts bool, 0/1, or 0/255 encodings — image
+    rescaling rules do NOT apply to masks."""
+    import numpy as np
+
+    from dladmm_tpu.data.synthetic import load_array_spec
+
+    raw = np.asarray(load_array_spec(spec))
+    if raw.ndim != 2:
+        raise SystemExit(f"--mask must be 2-D; got {raw.shape}")
+    return jnp.asarray((raw != 0).astype(np.float32))
 
 
 def denoise_image(params, A, noisy, *, patch=8, stride=4, mask=None):
@@ -301,6 +324,8 @@ def main(argv=None) -> int:
         ap.error(
             "--load carries its own dictionary; drop --dict/--dict-mat"
         )
+    if args.load and args.save:
+        ap.error("--load skips training, so there is nothing to --save")
     if args.mask and not args.input_image:
         ap.error("--mask only applies to --input-image")
     if args.input_image and args.mode == "inpaint" and not args.mask:
@@ -376,7 +401,7 @@ def _apply_or_benchmark(args, params, A, k_test) -> int:
         import numpy as np
 
         noisy = _load_gray_image(args.input_image)
-        mask = _load_gray_image(args.mask) if args.mask else None
+        mask = _load_mask(args.mask) if args.mask else None
         recon = denoise_image(params, A, noisy, mask=mask)
         if args.output_image:
             np.save(args.output_image, np.asarray(recon))

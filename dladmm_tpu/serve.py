@@ -280,11 +280,10 @@ class ShardedInferenceServer:
         self.m = m
         self.T = T
         if buckets is None:
-            if max_batch % T:
-                raise ValueError(
-                    f"max_batch {max_batch} not divisible by the data "
-                    f"axis size {T}"
-                )
+            # Round max_batch UP to a multiple of the data-axis size:
+            # solve() pads rows exactly, so the cost is padding, not
+            # correctness — and callers shouldn't need to know T.
+            max_batch = -(-max_batch // T) * T
             buckets = tuple(b * T for b in _buckets(max_batch // T))
         self.buckets = tuple(sorted(buckets))
         for S in self.buckets:
@@ -607,16 +606,11 @@ def _load_ckpt_params(ckpt_dir: str, config, A, B) -> DLADMMParams:
 
 
 def _read_requests(spec: str) -> np.ndarray:
-    """Load request rows from ``file.npy`` or ``file.npz[:key]``."""
-    path, _, key = spec.partition(":")
-    data = np.load(path)
-    if isinstance(data, np.ndarray):
-        arr = data
-    else:
-        if not key:
-            key = "b" if "b" in data.files else data.files[0]
-        arr = data[key]
-    arr = np.asarray(arr, np.float32)
+    """Load request rows from ``file.npy`` or ``file.npz[:key]`` (shared
+    file grammar: data.synthetic.load_array_spec)."""
+    from dladmm_tpu.data.synthetic import load_array_spec
+
+    arr = np.asarray(load_array_spec(spec), np.float32)
     if arr.ndim == 1:
         arr = arr[None, :]
     if arr.ndim != 2:
@@ -655,13 +649,14 @@ def main(argv=None) -> int:
         help="permit --import-torch to fully unpickle torch.save(net) "
         "whole-module checkpoints (trusted files only)",
     )
-    ap.add_argument(
+    req = ap.add_mutually_exclusive_group(required=True)
+    req.add_argument(
         "--input",
         default=None,
         metavar="FILE[:key]",
         help="request rows (S, m) from .npy or .npz; default key 'b'",
     )
-    ap.add_argument(
+    req.add_argument(
         "--demo",
         type=int,
         default=None,
@@ -694,8 +689,6 @@ def main(argv=None) -> int:
         "(ShardedInferenceServer)",
     )
     args = ap.parse_args(argv)
-    if args.input is None and args.demo is None:
-        ap.error("one of --input or --demo is required")
 
     from dladmm_tpu.data.synthetic import problem_matrices
     from dladmm_tpu.utils.config import get_config
@@ -715,11 +708,13 @@ def main(argv=None) -> int:
     if args.demo is not None:
         from dladmm_tpu.data.synthetic import make_batch
 
-        p, t = cfg.problem, cfg.train
-        # fit()'s eval key: demo NMSE is comparable to training evals.
-        k_eval = jax.random.split(jax.random.PRNGKey(t.seed), 3)[1]
+        from dladmm_tpu.data.synthetic import seed_keys
+
+        p = cfg.problem
+        # fit()'s eval key (shared derivation): demo NMSE is comparable
+        # to training evals.
         demo = make_batch(
-            k_eval, A, args.demo, p.sparsity_x, p.sparsity_e, B=B
+            seed_keys(cfg)[1], A, args.demo, p.sparsity_x, p.sparsity_e, B=B
         )
         requests = np.asarray(demo.b, np.float32)
     else:
@@ -732,12 +727,20 @@ def main(argv=None) -> int:
     }[args.dtype]
     max_batch = args.max_batch or max(1, requests.shape[0])
     cls = ShardedInferenceServer if args.sharded else InferenceServer
+    # One-shot CLI: a single bucket covering the whole request set — the
+    # power-of-two ladder would AOT-compile ~log2(S) programs and
+    # execute only the top one. (Library users who reuse a server across
+    # many calls get the ladder by default.) Sharded buckets must be a
+    # multiple of the data-axis size; solve() pads rows exactly.
+    if args.sharded:
+        max_batch = -(-max_batch // len(jax.devices())) * len(jax.devices())
     t_build = time.monotonic()
     server = cls(
         params,
         A,
         max_batch=max_batch,
         kernel=args.kernel,
+        buckets=(max_batch,),
         dtype=dtype,
         layers=args.layers,
         B=B,

@@ -489,8 +489,9 @@ def fit(
     from dladmm_tpu.models.unroll import init_dladmm_params
 
     p, t = config.problem, config.train
-    key = jax.random.PRNGKey(t.seed)
-    _, k_eval, k_train = jax.random.split(key, 3)
+    from dladmm_tpu.data.synthetic import seed_keys
+
+    _, k_eval, k_train = seed_keys(config)
     dtype = jnp.dtype(t.dtype)
     # One shared derivation of the fixed matrices (identity_B fast path:
     # B is None — SURVEY.md §2 point 4; general B: b = A x* + B z* and
@@ -665,8 +666,9 @@ def fit_greedy(
             "general-B configs end-to-end via fit() (run.py without "
             "--greedy)"
         )
-    key = jax.random.PRNGKey(t.seed)
-    _, k_eval, k_train = jax.random.split(key, 3)
+    from dladmm_tpu.data.synthetic import seed_keys
+
+    _, k_eval, k_train = seed_keys(config)
     dtype = jnp.dtype(t.dtype)
     from dladmm_tpu.data.synthetic import problem_matrices
 
@@ -922,8 +924,9 @@ def fit_sharded(
     else:
         mesh = pmesh.make_mesh(data=s.data_axis, model=s.model_axis)
 
-    key = jax.random.PRNGKey(t.seed)
-    _, k_eval, k_train = jax.random.split(key, 3)
+    from dladmm_tpu.data.synthetic import seed_keys
+
+    _, k_eval, k_train = seed_keys(config)
     dtype = jnp.dtype(t.dtype)
     # Same derivation as fit() (shared helper): a sharded run sees the
     # identical problem instance as the single-device run at the same

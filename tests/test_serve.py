@@ -381,10 +381,19 @@ def test_sharded_server_validation_and_batching_front_end():
     from dladmm_tpu.serve import BatchingServer, ShardedInferenceServer
 
     mesh, A, _, params, data = _sharded_setup()
-    with pytest.raises(ValueError, match="divisible"):
-        ShardedInferenceServer(params, A, mesh, max_batch=30)
-    with pytest.raises(ValueError, match="divisible"):
-        ShardedInferenceServer(params, A, mesh, buckets=[6])
+    # Non-multiple max_batch rounds UP to the data-axis size (solve()
+    # pads rows exactly), and solving the original count is exact.
+    T = mesh.shape["data"]
+    rounded = ShardedInferenceServer(params, A, mesh, max_batch=T * 2 - 2)
+    assert rounded.buckets[-1] == T * 2
+    x30, _ = rounded.solve(data.b[: T * 2 - 2])
+    xr30, _, _ = dladmm_forward(params, A, data.b[: T * 2 - 2])
+    np.testing.assert_allclose(
+        np.asarray(x30), np.asarray(xr30), rtol=1e-5, atol=1e-6
+    )
+    # EXPLICIT buckets stay strictly validated.
+    with pytest.raises(ValueError, match="divisible|multiple"):
+        ShardedInferenceServer(params, A, mesh, buckets=[T + 1])
     with pytest.raises(ValueError, match="data-parallel only"):
         ShardedInferenceServer(
             params, A, make_mesh(data=2, model=2), max_batch=32
