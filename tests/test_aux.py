@@ -3,6 +3,8 @@ helper, multihost batch assembly (single-process path), profiling hooks."""
 
 import os
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -225,3 +227,33 @@ def test_apply_platform_env(monkeypatch):
     monkeypatch.setenv("DLADMM_PLATFORM", "cpu")
     assert apply_platform_env() == "cpu"
     assert jax.config.jax_platforms == "cpu"
+
+
+def test_package_import_initializes_no_backend():
+    """Importing ANY module must not initialize a jax backend: the
+    sandbox pins an axon TPU backend whose relay can be down for hours,
+    so an import-time jax.default_backend()/devices() call would hang
+    every CLI and test run (regression: ops/pallas_layer's module-level
+    default instance did exactly that). Subprocess so this session's
+    initialized CPU backend doesn't mask the check."""
+    import subprocess
+    import sys
+
+    code = (
+        "import pkgutil, importlib, dladmm_tpu, __graft_entry__\n"
+        "for m in pkgutil.walk_packages(dladmm_tpu.__path__,"
+        " 'dladmm_tpu.'):\n"
+        "    importlib.import_module(m.name)\n"
+        "from jax._src import xla_bridge\n"
+        "assert not xla_bridge._backends, list(xla_bridge._backends)\n"
+        "print('clean')\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=120,
+        cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "clean" in out.stdout
