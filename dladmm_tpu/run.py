@@ -73,6 +73,13 @@ def main(argv=None) -> int:
         "--resume", action="store_true", help="resume from latest checkpoint"
     )
     ap.add_argument(
+        "--eval-only",
+        action="store_true",
+        help="skip training: restore the latest --ckpt-dir checkpoint "
+        "and report the NMSE-vs-layer table / plot / summary JSON "
+        "(equivalent to --resume --steps=0)",
+    )
+    ap.add_argument(
         "--import-torch",
         default=None,
         metavar="CKPT",
@@ -105,6 +112,12 @@ def main(argv=None) -> int:
         "BASELINE.md)",
     )
     args = ap.parse_args(argv)
+    if args.eval_only:
+        if not args.ckpt_dir:
+            ap.error("--eval-only needs --ckpt-dir (a trained checkpoint)")
+        if args.steps:
+            ap.error("--eval-only contradicts --steps (it trains nothing)")
+        args.steps, args.resume = 0, True
 
     from dladmm_tpu.utils.config import get_config
 

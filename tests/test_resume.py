@@ -121,3 +121,22 @@ def test_fused_adam_resume_reproduces_cold_run(tmp_path):
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-8
         )
+
+
+def test_eval_only_cli_reports_trained_metrics(tmp_path, capsys):
+    """run.py --eval-only restores the checkpoint and reports the SAME
+    final metrics as the training run, training nothing."""
+    import json
+
+    from dladmm_tpu.run import main
+
+    ckpt = str(tmp_path / "ck")
+    assert main(["--config=smoke", "--ckpt-dir", ckpt]) == 0
+    trained = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert (
+        main(["--config=smoke", "--ckpt-dir", ckpt, "--eval-only"]) == 0
+    )
+    evaled = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert evaled["final_nmse_db"] == pytest.approx(
+        trained["final_nmse_db"], abs=1e-6
+    )
