@@ -683,3 +683,185 @@ def make_sharded_train_step(
         )
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_dp_zero1_state(params, optimizer, mesh, compute_dtype=None):
+    """TrainState for the ZeRO-1 DP step: params replicated, optimizer
+    state over the FLAT padded parameter vector, sharded over 'data'.
+
+    Cross-replica weight-update sharding (ZeRO-1; see Xu et al.,
+    "Automatic Cross-Replica Sharding of Weight Update in Data-Parallel
+    Training", PAPERS.md): each chip keeps 1/D of the Adam moments
+    instead of a full replica, cutting per-chip optimizer HBM and the
+    optimizer-update traffic by the data-axis size D."""
+    from jax.flatten_util import ravel_pytree
+    from jax.sharding import NamedSharding
+
+    from dladmm_tpu.train.loop import TrainState
+
+    flat, _ = ravel_pytree(params)
+    D = mesh.shape[DATA_AXIS]
+    padded = -(-flat.size // D) * D
+    opt_state = optimizer.init(jnp.zeros((padded,), flat.dtype))
+    shard = NamedSharding(mesh, P(DATA_AXIS))
+    rep = NamedSharding(mesh, P())
+    opt_state = jax.tree.map(
+        lambda v: jax.device_put(
+            v, shard if getattr(v, "ndim", 0) == 1 else rep
+        ),
+        opt_state,
+    )
+    params = jax.device_put(params, rep)
+    cp = (
+        None
+        if compute_dtype is None
+        else jax.device_put(
+            jax.tree.map(lambda v: v.astype(compute_dtype), params), rep
+        )
+    )
+    return TrainState(params, opt_state, jnp.zeros((), jnp.int32), cp)
+
+
+def make_dp_zero1_train_step(
+    optimizer: optax.GradientTransformation,
+    mesh,
+    clip_norm=None,
+    compute_dtype=None,
+    freeze: tuple = (),
+    layer_weights=None,
+    step_fn=None,
+    forward_fn=None,
+    vjp: str = "auto",
+    donate: bool = True,
+    B=None,
+):
+    """Data-parallel step with the weight update SHARDED over 'data'
+    (ZeRO-1 / XLA's cross-replica weight-update sharding — PAPERS.md).
+
+    make_dp_train_step allreduces the gradients and then runs the FULL
+    optimizer redundantly on every chip (moments replicated). Here the
+    bulk allreduce becomes a reduce-scatter (psum_scatter): each chip
+    receives the fully-summed gradients for its 1/D slice of the flat
+    parameter vector, applies Adam to just that slice against its
+    moment shard, and an all-gather of the updated slices rebuilds the
+    replicated parameters. A ring allreduce IS reduce-scatter +
+    all-gather, so total collective bytes are unchanged — but per-chip
+    optimizer FLOPs/HBM traffic and moment storage drop by D.
+
+    Bonus: because the scatter fully reduces before the update, the
+    TRUE global gradient norm is one scalar psum of per-shard partial
+    sums — so clip_norm here is the EXACT single-pass global-norm clip
+    (no delayed approximation). Pass an optimizer built WITHOUT a clip
+    transform.
+
+    Same (state, A, batch) signature as the other sharded steps; state
+    from make_dp_zero1_state. Parity with the replicated-optimizer DP
+    step and the single-device exact-clip run is pinned by
+    tests/test_distributed.py.
+    """
+    from jax.flatten_util import ravel_pytree
+
+    from dladmm_tpu.train.loop import loss_fn
+
+    D = mesh.shape[DATA_AXIS]
+    rep = jax.tree.map(lambda _: P(), param_specs("replicated_w2"))
+
+    def body(masters, loss_params, opt_state, A, b, x_star, e_star):
+        def local_loss(p):
+            return loss_fn(
+                p,
+                A,
+                b,
+                x_star,
+                e_star,
+                B,
+                layer_weights,
+                step_fn,
+                forward_fn,
+                None,
+                vjp,
+            )
+
+        l, g = jax.value_and_grad(local_loss)(loss_params)
+        l = jax.lax.psum(l, DATA_AXIS) / D
+        # Recast (possibly bf16) grads onto the fp32 masters and zero
+        # frozen fields BEFORE flattening.
+        g = jax.tree.map(lambda gv, pv: gv.astype(pv.dtype), g, masters)
+        if freeze:
+            g = type(g)(
+                *(
+                    jnp.zeros_like(gv) if name in freeze else gv
+                    for name, gv in zip(g._fields, g)
+                )
+            )
+        flat_g, _ = ravel_pytree(g)
+        flat_p, unravel = ravel_pytree(masters)
+        total = flat_p.size
+        padded = -(-total // D) * D
+        pad = padded - total
+        if pad:
+            flat_g = jnp.concatenate([flat_g, jnp.zeros(pad, flat_g.dtype)])
+            flat_p = jnp.concatenate([flat_p, jnp.zeros(pad, flat_p.dtype)])
+        # Reduce-scatter: fully-summed gradient slice per chip.
+        g_shard = (
+            jax.lax.psum_scatter(
+                flat_g, DATA_AXIS, scatter_dimension=0, tiled=True
+            )
+            / D
+        )
+        if clip_norm:
+            # Shards partition the reduced vector, so the psum of the
+            # per-shard partial sums IS the exact global norm^2.
+            gn = jnp.sqrt(
+                jax.lax.psum(jnp.sum(g_shard * g_shard), DATA_AXIS)
+            )
+            g_shard = g_shard * jnp.minimum(1.0, clip_norm / jnp.maximum(gn, 1e-12))
+        idx = jax.lax.axis_index(DATA_AXIS)
+        p_shard = jax.lax.dynamic_slice(
+            flat_p, (idx * (padded // D),), (padded // D,)
+        )
+        updates, new_opt = optimizer.update(g_shard, opt_state, p_shard)
+        new_p_shard = optax.apply_updates(p_shard, updates)
+        flat_new = jax.lax.all_gather(
+            new_p_shard, DATA_AXIS, tiled=True
+        )[:total]
+        return unravel(flat_new), new_opt, l
+
+    # Spec tree for the flat optimizer state: (padded,) leaves sharded
+    # over 'data', scalars (step counts) replicated.
+    def _opt_specs(opt_state):
+        return jax.tree.map(
+            lambda v: P(DATA_AXIS) if getattr(v, "ndim", 0) == 1 else P(),
+            opt_state,
+        )
+
+    def step(state, A, batch):
+        loss_params, b = _mixed_precision_inputs(state, batch, compute_dtype)
+        opt_specs = _opt_specs(state.opt_state)
+        new_params, new_opt, loss = jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(rep, rep, opt_specs, P(), B_SPEC, X_SPEC, Z_SPEC),
+            out_specs=(rep, opt_specs, P()),
+            check_vma=False,  # same rationale as make_dp_train_step
+        )(
+            state.params,
+            loss_params,
+            state.opt_state,
+            A,
+            b,
+            batch.x_star,
+            batch.e_star,
+        )
+        new = state._replace(
+            params=new_params, opt_state=new_opt, step=state.step + 1
+        )
+        if compute_dtype is not None:
+            new = new._replace(
+                compute_params=jax.tree.map(
+                    lambda v: v.astype(compute_dtype), new_params
+                )
+            )
+        return new, loss
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())

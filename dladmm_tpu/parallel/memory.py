@@ -92,6 +92,7 @@ def per_chip_bytes(
     dtype_bytes: int = 4,
     compute_dtype_bytes: Optional[int] = None,
     d: Optional[int] = None,
+    opt_shard_degree: int = 1,
 ) -> MemoryBreakdown:
     """Bytes per chip for one sharded training step (B = I, d = m).
 
@@ -123,7 +124,9 @@ def per_chip_bytes(
         + K  # beta
     )
     params = p_elems * dtype_bytes
-    moments = 2 * params
+    # ZeRO-1 (opt_shard_degree = data_axis): each chip holds 1/D of the
+    # Adam moments (collectives.make_dp_zero1_train_step).
+    moments = 2 * params / max(1, opt_shard_degree)
     copy = 0.0 if compute_dtype_bytes is None else p_elems * cb
     A_bytes = m * n / T * cb + (m * n / T * dtype_bytes if cb != dtype_bytes else 0)
     # Forward carry + per-layer residual stacks (see docstring). The
@@ -155,6 +158,7 @@ def audit_or_raise(
     headroom: float = DEFAULT_HEADROOM,
     print_fn=None,
     d=None,
+    opt_shard_degree: int = 1,
 ) -> MemoryBreakdown:
     """Assert the projected per-chip footprint fits device HBM (with
     headroom for XLA temporaries); returns the breakdown. fit_sharded
@@ -172,6 +176,7 @@ def audit_or_raise(
         dtype_bytes,
         compute_dtype_bytes,
         d,
+        opt_shard_degree,
     )
     budget = hbm_bytes * (1 - headroom)
     if print_fn:

@@ -73,6 +73,15 @@ def main(argv=None) -> int:
         "--resume", action="store_true", help="resume from latest checkpoint"
     )
     ap.add_argument(
+        "--zero1",
+        action="store_true",
+        help="shard the optimizer state + weight update over the data "
+        "axis (ZeRO-1 / cross-replica weight-update sharding) on "
+        "DP-only sharded configs: per-chip Adam HBM and update "
+        "traffic drop by data_axis, and clip_norm becomes the exact "
+        "single-pass global clip",
+    )
+    ap.add_argument(
         "--eval-only",
         action="store_true",
         help="skip training: restore the latest --ckpt-dir checkpoint "
@@ -205,6 +214,17 @@ def main(argv=None) -> int:
             f"(K={init_params.K})",
             flush=True,
         )
+    if args.zero1:
+        if s.data_axis <= 1 or s.model_axis > 1:
+            ap.error(
+                "--zero1 applies to DP-only sharded configs "
+                f"(data_axis > 1, model_axis == 1); config {cfg.name!r} "
+                f"is {s.data_axis}x{s.model_axis}"
+            )
+        cfg = dataclasses.replace(
+            cfg, sharding=dataclasses.replace(s, zero1=True)
+        )
+        s = cfg.sharding
     if s.data_axis * s.model_axis > 1:
         if args.greedy:
             ap.error(

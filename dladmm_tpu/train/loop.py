@@ -879,6 +879,28 @@ def fit_sharded(
                 "optimizer='fused_adam' IS a manual-backward step; "
                 "vjp='xla' contradicts it (use optimizer='adam')"
             )
+    zero1 = getattr(s, "zero1", False)
+    if zero1:
+        if s.model_axis > 1:
+            raise ValueError(
+                "zero1 (cross-replica weight-update sharding) shards the "
+                "optimizer over 'data'; with model_axis > 1 the TP layout "
+                "already shards weights AND moments over 'model' "
+                "(layout='sharded_w2') — use that instead"
+            )
+        if fused:
+            raise ValueError(
+                "zero1 and optimizer='fused_adam' both restructure the "
+                "update and do not compose: fused applies Adam inside "
+                "the reverse scan (replicated moments), zero1 shards the "
+                "post-backward update. Pick one."
+            )
+        if t.clip_norm and getattr(t, "clip_mode", "global") == "delayed":
+            raise ValueError(
+                "zero1's reduce-scatter makes the EXACT global-norm clip "
+                "single-pass — clip_mode='delayed' would be a strictly "
+                "worse approximation here; use clip_mode='global'"
+            )
     if s.model_axis > 1:
         bad = {
             k: v
@@ -918,6 +940,7 @@ def fit_sharded(
         hbm_bytes=hbm_bytes or detect_hbm_bytes(),
         print_fn=print if is_primary else None,
         d=(p.d or p.m) if general_b else None,
+        opt_shard_degree=s.data_axis if zero1 else 1,
     )
     if s.multihost and jax.process_count() > 1:
         mesh = make_multihost_mesh(model=s.model_axis)
@@ -966,8 +989,6 @@ def fit_sharded(
             B=B_c,
         )
     elif s.model_axis == 1:
-        optimizer = _build_optimizer(t)  # honors lr_schedule + clip_norm
-        state = make_train_state(params, optimizer, compute_dtype)
         forward_fn = step_fn = None
         if not general_b and (vjp == "auto" or vjp not in ("manual", "xla")):
             # General B keeps forward_fn=step_fn=None: loss_fn then
@@ -983,17 +1004,48 @@ def fit_sharded(
                 kernel=t.kernel,
                 need_trajectory=t.layer_loss is not None,
             )
-        train_step = make_dp_train_step(
-            optimizer,
-            mesh,
-            compute_dtype,
-            tuple(t.freeze),
-            layer_weights,
-            step_fn,
-            forward_fn,
-            vjp,
-            B=B_c,
-        )
+        if zero1:
+            # ZeRO-1: the step owns the (exact, single-pass) clip, so
+            # the optax chain is built WITHOUT a clip transform; the
+            # optimizer state is the flat padded vector sharded over
+            # 'data' (collectives.make_dp_zero1_state).
+            import dataclasses as _dc
+
+            from dladmm_tpu.parallel.collectives import (
+                make_dp_zero1_state,
+                make_dp_zero1_train_step,
+            )
+
+            optimizer = _build_optimizer(_dc.replace(t, clip_norm=None))
+            state = make_dp_zero1_state(
+                params, optimizer, mesh, compute_dtype
+            )
+            train_step = make_dp_zero1_train_step(
+                optimizer,
+                mesh,
+                clip_norm=t.clip_norm,
+                compute_dtype=compute_dtype,
+                freeze=tuple(t.freeze),
+                layer_weights=layer_weights,
+                step_fn=step_fn,
+                forward_fn=forward_fn,
+                vjp=vjp,
+                B=B_c,
+            )
+        else:
+            optimizer = _build_optimizer(t)  # honors lr_schedule + clip
+            state = make_train_state(params, optimizer, compute_dtype)
+            train_step = make_dp_train_step(
+                optimizer,
+                mesh,
+                compute_dtype,
+                tuple(t.freeze),
+                layer_weights,
+                step_fn,
+                forward_fn,
+                vjp,
+                B=B_c,
+            )
     else:
         optimizer = _build_optimizer(t)  # honors lr_schedule + clip_norm
         state = make_train_state(params, optimizer, compute_dtype)

@@ -87,6 +87,13 @@ class ShardingConfig:
     # HBM); "replicated_w2" is the round-1 one-collective-per-layer
     # layout (W2/moments replicated — only viable at small m).
     layout: str = "sharded_w2"
+    # ZeRO-1 / cross-replica weight-update sharding on DP-only meshes
+    # (model_axis == 1): reduce-scatter grads, Adam on each chip's 1/D
+    # slice against its moment shard, all-gather the updated params —
+    # per-chip optimizer HBM and update traffic drop by data_axis, and
+    # clip_norm becomes the EXACT single-pass global clip
+    # (parallel/collectives.make_dp_zero1_train_step; PAPERS.md).
+    zero1: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -675,3 +675,136 @@ def test_fit_sharded_general_b_end_to_end():
     )
     with pytest.raises(ValueError, match="kernel"):
         fit_sharded(kern)
+
+
+def test_dp_zero1_matches_single_device_exact_clip():
+    """ZeRO-1 step (reduce-scatter grads, Adam on the 1/D flat shard,
+    all-gather params — PAPERS.md cross-replica weight-update sharding)
+    == single-device exact-global-clip optax chain, multiple steps."""
+    from dladmm_tpu.parallel.collectives import (
+        make_dp_zero1_state,
+        make_dp_zero1_train_step,
+    )
+
+    mesh = pmesh.make_mesh(data=8, model=1)
+    A, data, params = _setup()
+    clip = 0.05  # small enough to BIND at this loss scale
+    opt_ref = optax.chain(optax.clip_by_global_norm(clip), optax.adam(1e-3))
+    params_ref, opt_ref_state = params, opt_ref.init(params)
+
+    def ref_step(params, opt_state):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            params, A, data.b, data.x_star, data.e_star
+        )
+        upd, opt_state = opt_ref.update(grads, opt_state, params)
+        return optax.apply_updates(params, upd), opt_state, loss
+
+    opt_z = optax.adam(1e-3)
+    params_s, A_s, batch_s = _put(mesh, data, params, A, "sharded_w2")
+    state = make_dp_zero1_state(params_s, opt_z, mesh)
+    step = make_dp_zero1_train_step(
+        opt_z, mesh, clip_norm=clip, donate=False
+    )
+    for _ in range(3):
+        params_ref, opt_ref_state, loss_ref = ref_step(
+            params_ref, opt_ref_state
+        )
+        state, loss = step(state, A_s, batch_s)
+        np.testing.assert_allclose(float(loss), float(loss_ref), rtol=1e-5)
+    for name, got, want in zip(params._fields, state.params, params_ref):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=5e-5, atol=1e-6,
+            err_msg=name,
+        )
+    # The point of ZeRO-1: moment vectors live SHARDED over 'data'.
+    from jax.sharding import PartitionSpec
+
+    for leaf in jax.tree.leaves(state.opt_state):
+        if getattr(leaf, "ndim", 0) == 1:
+            assert leaf.sharding.spec == PartitionSpec("data"), leaf.sharding
+
+
+def test_dp_zero1_audit_and_validation():
+    """The memory audit reflects the 1/D moment shard, and fit_sharded
+    rejects the non-composing flag combinations."""
+    import dataclasses
+
+    from dladmm_tpu.parallel.memory import per_chip_bytes
+    from dladmm_tpu.train.loop import fit_sharded
+    from dladmm_tpu.utils.config import (
+        Config,
+        ProblemConfig,
+        ShardingConfig,
+        TrainConfig,
+    )
+
+    rep = per_chip_bytes(1000, 2000, 20, 1024, data_axis=8)
+    z1 = per_chip_bytes(1000, 2000, 20, 1024, data_axis=8, opt_shard_degree=8)
+    assert z1.opt_moments == pytest.approx(rep.opt_moments / 8)
+
+    base = Config(
+        name="z1",
+        problem=ProblemConfig(m=16, n=32, K=3),
+        train=TrainConfig(batch=16, steps=2, eval_every=2),
+        sharding=ShardingConfig(data_axis=2, zero1=True),
+    )
+    with pytest.raises(ValueError, match="zero1"):
+        fit_sharded(
+            dataclasses.replace(
+                base, sharding=ShardingConfig(data_axis=2, model_axis=2, zero1=True)
+            )
+        )
+    with pytest.raises(ValueError, match="fused_adam"):
+        fit_sharded(
+            dataclasses.replace(
+                base,
+                train=dataclasses.replace(
+                    base.train, optimizer="fused_adam", clip_mode="delayed"
+                ),
+            )
+        )
+    with pytest.raises(ValueError, match="delayed"):
+        fit_sharded(
+            dataclasses.replace(
+                base,
+                train=dataclasses.replace(
+                    base.train, clip_norm=1.0, clip_mode="delayed"
+                ),
+            )
+        )
+
+
+def test_fit_sharded_zero1_end_to_end_matches_replicated():
+    """fit_sharded with zero1 reproduces the replicated-optimizer DP
+    run exactly (same exact-clip semantics) at a tiny config."""
+    import dataclasses
+
+    from dladmm_tpu.train.loop import fit_sharded
+    from dladmm_tpu.utils.config import (
+        Config,
+        ProblemConfig,
+        ShardingConfig,
+        TrainConfig,
+    )
+
+    base = Config(
+        name="z1e2e",
+        problem=ProblemConfig(m=16, n=32, K=4),
+        train=TrainConfig(
+            batch=32, steps=20, lr=1e-3, clip_norm=1.0, eval_every=10,
+            eval_batch=64,
+        ),
+        sharding=ShardingConfig(data_axis=4),
+    )
+    _, hist_rep = fit_sharded(base)
+    _, hist_z1 = fit_sharded(
+        dataclasses.replace(
+            base, sharding=ShardingConfig(data_axis=4, zero1=True)
+        )
+    )
+    assert hist_z1[-1]["nmse_db"] == pytest.approx(
+        hist_rep[-1]["nmse_db"], abs=1e-3
+    )
+    assert hist_z1[-1]["loss"] == pytest.approx(
+        hist_rep[-1]["loss"], rel=1e-4
+    )
