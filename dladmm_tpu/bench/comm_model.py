@@ -99,9 +99,30 @@ def analyze(name, m, n, K, S, data_axis, model_axis, layout, hosts=1,
         else 1.0,
     } | (
         _fused_dp_fields(K, t_compute, t_ici, t_dp)
+        | _zero1_dp_fields(bd, D)
         if model_axis == 1
         else {}
     )
+
+
+def _zero1_dp_fields(bd, D):
+    """ShardingConfig.zero1 (cross-replica weight-update sharding) on a
+    DP mesh: collective bytes are UNCHANGED (a ring allreduce is
+    reduce-scatter + all-gather, which is literally what zero1 issues),
+    so t_dp stays — what shrinks by D is the per-chip optimizer work:
+    Adam's ~7 params-sized HBM streams (grads/params/mu/nu reads,
+    params/mu/nu writes) and the moment storage itself. Model fields
+    only; the real step-time effect needs a multi-chip measurement."""
+    opt_stream = 7 * bd.params  # bytes per step, replicated optimizer
+    return {
+        "zero1_optimizer_hbm_mb_per_step": round(opt_stream / D / 1e6, 1),
+        "zero1_optimizer_hbm_mb_replicated": round(opt_stream / 1e6, 1),
+        "zero1_moments_gb_per_chip": round(bd.opt_moments / D / 1e9, 3),
+        "zero1_note": (
+            "collective bytes unchanged (ring allreduce = RS+AG); "
+            "clip_norm becomes the exact single-pass global clip"
+        ),
+    }
 
 
 def _fused_dp_fields(K, t_compute, t_ici, t_dp):

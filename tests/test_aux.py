@@ -257,3 +257,18 @@ def test_package_import_initializes_no_backend():
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "clean" in out.stdout
+
+
+def test_comm_model_zero1_fields():
+    """zero1 model fields: optimizer HBM streams and moment storage
+    shrink by exactly D; collective bytes unchanged (note present)."""
+    from dladmm_tpu.bench.comm_model import analyze
+
+    r = analyze("z", 1000, 2000, 20, 1024, 8, 1, "sharded_w2", hosts=2)
+    assert r["zero1_optimizer_hbm_mb_per_step"] == pytest.approx(
+        r["zero1_optimizer_hbm_mb_replicated"] / 8, rel=0.01
+    )
+    assert "allreduce = RS+AG" in r["zero1_note"]
+    # TP rows don't carry the DP-only fields.
+    r_tp = analyze("t", 1000, 2000, 20, 1024, 2, 4, "sharded_w2")
+    assert "zero1_note" not in r_tp
