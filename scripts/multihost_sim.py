@@ -39,6 +39,13 @@ def main(argv=None) -> int:
         help="fused_adam exercises the DP fused step cross-process "
         "(per-layer grad psums over DCN) on a data-only mesh",
     )
+    ap.add_argument(
+        "--zero1",
+        action="store_true",
+        help="exercise ZeRO-1 weight-update sharding cross-process: the "
+        "reduce-scatter/all-gather pair and the flat moment shards "
+        "span both hosts (data-only mesh)",
+    )
     args = ap.parse_args(argv)
 
     # Set (or raise) the virtual-device-count flag without duplicating
@@ -73,9 +80,9 @@ def main(argv=None) -> int:
 
     n_local = jax.local_device_count()
     fused = args.optimizer == "fused_adam"
-    # The fused optimizer shards over 'data' only (train/fused_adam.py);
-    # the default sim keeps model_axis=2 so both axes are exercised.
-    model_axis = 1 if fused else 2
+    # The fused optimizer and zero1 shard over 'data' only; the default
+    # sim keeps model_axis=2 so both axes are exercised.
+    model_axis = 1 if (fused or args.zero1) else 2
     cfg = Config(
         name="multihost_sim",
         problem=ProblemConfig(m=16, n=32, K=4),
@@ -87,7 +94,7 @@ def main(argv=None) -> int:
             eval_batch=16 * args.num_processes,
             compute_dtype=args.compute_dtype,
             optimizer=args.optimizer,
-            clip_norm=1.0 if fused else None,
+            clip_norm=1.0 if (fused or args.zero1) else None,
             clip_mode="delayed" if fused else "global",
         ),
         sharding=ShardingConfig(
@@ -95,6 +102,7 @@ def main(argv=None) -> int:
             model_axis=model_axis,
             multihost=True,
             layout=args.layout,
+            zero1=args.zero1,
         ),
     )
     params, history = fit_sharded(

@@ -98,3 +98,16 @@ def test_two_process_multihost_fused_adam():
     assert result["processes"] == 2
     assert result["mesh"] == "8x1"
     assert result["improved"], result
+
+
+@pytest.mark.slow
+def test_two_process_multihost_zero1():
+    """ZeRO-1 cross-process: the reduce-scatter/all-gather pair and the
+    flat moment shards span the real 2-process Gloo mesh (data-only
+    8x1), exact global clip on; training improves NMSE."""
+    result = _run_pair(
+        _free_port(), ["--steps=40", "--zero1", "--compute-dtype=bfloat16"]
+    )
+    assert result["processes"] == 2
+    assert result["mesh"] == "8x1"
+    assert result["improved"], result
