@@ -73,6 +73,14 @@ def main(argv=None) -> int:
         "--resume", action="store_true", help="resume from latest checkpoint"
     )
     ap.add_argument(
+        "--accum-steps",
+        type=int,
+        default=None,
+        help="gradient accumulation: scan this many microbatches of "
+        "batch/accum_steps rows per update (fp32 grad accumulators) — "
+        "train effective batches beyond HBM; single-device configs",
+    )
+    ap.add_argument(
         "--zero1",
         action="store_true",
         help="shard the optimizer state + weight update over the data "
@@ -141,6 +149,7 @@ def main(argv=None) -> int:
         "vjp",
         "clip_mode",
         "optimizer",
+        "accum_steps",
     ):
         v = getattr(args, f)
         if v is not None:
@@ -332,7 +341,8 @@ def main(argv=None) -> int:
             p.m,
             p.n,
             p.m,
-            cfg.train.batch,
+            # VMEM eligibility is per-microbatch under accumulation.
+            cfg.train.batch // cfg.train.accum_steps,
             kernel=cfg.train.kernel,
             need_trajectory=cfg.train.layer_loss is not None,
         )

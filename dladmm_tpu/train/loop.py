@@ -178,6 +178,7 @@ def make_train_step(
     compute_dtype=None,
     freeze: tuple = (),
     vjp: str = "auto",
+    accum_steps: int = 1,
 ) -> Callable[[TrainState, jax.Array], tuple]:
     """Build the fully fused train step: key -> data -> grad -> update.
 
@@ -194,7 +195,19 @@ def make_train_step(
     per-step fp32->bf16 re-cast of the stacked weights), the low-
     precision grads feed Adam's fp32 masters through per-op promotion,
     and the copy is refreshed in the same fused pass.
+
+    accum_steps > 1: gradient accumulation — `batch` stays the EFFECTIVE
+    per-update batch; each update scans accum_steps microbatches of
+    batch/accum_steps rows (fresh PRNG fold each), accumulating fp32
+    grads. Activations/trajectory stacks exist for ONE microbatch at a
+    time, so effective batches that exceed HBM become trainable; the
+    update math is the same global-mean gradient.
     """
+    if accum_steps < 1 or batch % accum_steps:
+        raise ValueError(
+            f"accum_steps={accum_steps} must divide batch={batch}"
+        )
+    micro = batch // accum_steps
     A_c = A if compute_dtype is None else A.astype(compute_dtype)
     B_c = (
         B if B is None or compute_dtype is None else B.astype(compute_dtype)
@@ -209,24 +222,26 @@ def make_train_step(
                 "(make_train_state(..., compute_dtype=...) pairs with "
                 "make_train_step(..., compute_dtype=...))"
             )
-        data = make_batch(key, A, batch, sparsity_x, sparsity_e, A.dtype, B)
-        if compute_dtype is not None and state.compute_params is not None:
-            b_c = data.b.astype(compute_dtype)
-            loss, grads = jax.value_and_grad(loss_fn)(
-                state.compute_params,
-                A_c,
-                b_c,
-                data.x_star,
-                data.e_star,
-                B_c,
-                layer_weights,
-                step_fn,
-                forward_fn,
-                None,  # inputs already in compute dtype
-                vjp,
+
+        def micro_grad(k):
+            data = make_batch(
+                k, A, micro, sparsity_x, sparsity_e, A.dtype, B
             )
-        else:
-            loss, grads = jax.value_and_grad(loss_fn)(
+            if compute_dtype is not None and state.compute_params is not None:
+                return jax.value_and_grad(loss_fn)(
+                    state.compute_params,
+                    A_c,
+                    data.b.astype(compute_dtype),
+                    data.x_star,
+                    data.e_star,
+                    B_c,
+                    layer_weights,
+                    step_fn,
+                    forward_fn,
+                    None,  # inputs already in compute dtype
+                    vjp,
+                )
+            return jax.value_and_grad(loss_fn)(
                 state.params,
                 A,
                 data.b,
@@ -239,6 +254,30 @@ def make_train_step(
                 compute_dtype,
                 vjp,
             )
+
+        if accum_steps == 1:
+            loss, grads = micro_grad(key)
+        else:
+            # fp32 accumulators (bf16 microbatch grads promote on add).
+            def body(carry, k):
+                l, g = micro_grad(k)
+                cl, cg = carry
+                return (
+                    cl + l.astype(jnp.float32),
+                    jax.tree.map(
+                        lambda a, b_: a + b_.astype(a.dtype), cg, g
+                    ),
+                ), None
+
+            init = (
+                jnp.zeros((), jnp.float32),
+                jax.tree.map(jnp.zeros_like, state.params),
+            )
+            (ls, gs), _ = jax.lax.scan(
+                body, init, jax.random.split(key, accum_steps)
+            )
+            loss = ls / accum_steps
+            grads = jax.tree.map(lambda v: v / accum_steps, gs)
         if freeze:
             grads = type(grads)(
                 *(
@@ -270,6 +309,7 @@ def make_train_step_from_batch(
     donate: bool = True,
     vjp: str = "auto",
     compute_dtype=None,
+    accum_steps: int = 1,
 ) -> Callable[[TrainState, Any], tuple]:
     """Train step fed an explicit SyntheticBatch (for sharded/multi-host
     runs where the batch is built host-locally and device_put with a
@@ -280,20 +320,21 @@ def make_train_step_from_batch(
     compute_dtype follows make_train_step's mixed-precision design:
     build the state with make_train_state(..., compute_dtype=...) and
     the loss/backward run on the persistent low-precision copy.
+
+    accum_steps > 1 splits the provided batch's rows into accum_steps
+    equal microbatches and accumulates fp32 grads over a scan — the
+    EXACT global-mean gradient of the full batch (equal chunks: mean of
+    chunk means = global mean), with activations for one microbatch at
+    a time. Parity is pinned by tests/test_training.py.
     """
     A_c = A if compute_dtype is None else A.astype(compute_dtype)
     B_c = (
         B if B is None or compute_dtype is None else B.astype(compute_dtype)
     )
 
-    def _step(state: TrainState, data):
-        if compute_dtype is None and state.compute_params is not None:
-            raise ValueError(
-                "state carries compute_params but the step was built "
-                "without compute_dtype (see make_train_step)"
-            )
+    def _grad(state: TrainState, data):
         if compute_dtype is not None and state.compute_params is not None:
-            loss, grads = jax.value_and_grad(loss_fn)(
+            return jax.value_and_grad(loss_fn)(
                 state.compute_params,
                 A_c,
                 data.b.astype(compute_dtype),
@@ -306,20 +347,59 @@ def make_train_step_from_batch(
                 None,
                 vjp,
             )
-        else:
-            loss, grads = jax.value_and_grad(loss_fn)(
-                state.params,
-                A,
-                data.b,
-                data.x_star,
-                data.e_star,
-                B,
-                layer_weights,
-                step_fn,
-                forward_fn,
-                compute_dtype,
-                vjp,
+        return jax.value_and_grad(loss_fn)(
+            state.params,
+            A,
+            data.b,
+            data.x_star,
+            data.e_star,
+            B,
+            layer_weights,
+            step_fn,
+            forward_fn,
+            compute_dtype,
+            vjp,
+        )
+
+    def _step(state: TrainState, data):
+        if compute_dtype is None and state.compute_params is not None:
+            raise ValueError(
+                "state carries compute_params but the step was built "
+                "without compute_dtype (see make_train_step)"
             )
+        if accum_steps == 1:
+            loss, grads = _grad(state, data)
+        else:
+            S = data.b.shape[0]
+            if S % accum_steps:
+                raise ValueError(
+                    f"accum_steps={accum_steps} must divide the batch "
+                    f"rows ({S})"
+                )
+            chunks = jax.tree.map(
+                lambda v: v.reshape(
+                    accum_steps, S // accum_steps, *v.shape[1:]
+                ),
+                data,
+            )
+
+            def body(carry, chunk):
+                l, g = _grad(state, chunk)
+                cl, cg = carry
+                return (
+                    cl + l.astype(jnp.float32),
+                    jax.tree.map(
+                        lambda a, b_: a + b_.astype(a.dtype), cg, g
+                    ),
+                ), None
+
+            init = (
+                jnp.zeros((), jnp.float32),
+                jax.tree.map(jnp.zeros_like, state.params),
+            )
+            (ls, gs), _ = jax.lax.scan(body, init, chunks)
+            loss = ls / accum_steps
+            grads = jax.tree.map(lambda v: v / accum_steps, gs)
         updates, opt_state = optimizer.update(
             grads, state.opt_state, state.params
         )
@@ -531,6 +611,12 @@ def fit(
                 "optimizer='fused_adam' IS a manual-backward step; "
                 "vjp='xla' contradicts it (use optimizer='adam')"
             )
+        if getattr(t, "accum_steps", 1) != 1:
+            raise ValueError(
+                "optimizer='fused_adam' applies the update INSIDE the "
+                "backward of one batch — gradient accumulation does not "
+                "compose; use optimizer='adam' with accum_steps"
+            )
         from dladmm_tpu.train.fused_adam import (
             make_fused_adam_state,
             make_fused_adam_step,
@@ -564,6 +650,7 @@ def fit(
             compute_dtype=compute_dtype,
             freeze=tuple(t.freeze),
             vjp=getattr(t, "vjp", "auto"),
+            accum_steps=getattr(t, "accum_steps", 1),
         )
         state = make_train_state(params, optimizer, compute_dtype)
     eval_data = make_batch(
@@ -665,6 +752,11 @@ def fit_greedy(
             "fit_greedy supports the identity-B benchmarks only; train "
             "general-B configs end-to-end via fit() (run.py without "
             "--greedy)"
+        )
+    if getattr(t, "accum_steps", 1) != 1:
+        raise ValueError(
+            "fit_greedy does not support gradient accumulation; use the "
+            "end-to-end fit()"
         )
     from dladmm_tpu.data.synthetic import seed_keys
 
@@ -879,6 +971,11 @@ def fit_sharded(
                 "optimizer='fused_adam' IS a manual-backward step; "
                 "vjp='xla' contradicts it (use optimizer='adam')"
             )
+    if getattr(t, "accum_steps", 1) != 1:
+        raise ValueError(
+            "accum_steps > 1 is the single-device fit()'s HBM lever; on "
+            "a mesh, raise data_axis (more batch shards) instead"
+        )
     zero1 = getattr(s, "zero1", False)
     if zero1:
         if s.model_axis > 1:

@@ -75,6 +75,12 @@ class TrainConfig:
     # (kernel="auto") and, if clip_norm is set, clip_mode="delayed"
     # (exact global clipping is two-pass and cannot fuse).
     optimizer: str = "adam"
+    # Gradient accumulation: the EFFECTIVE batch stays `batch`; each
+    # update scans accum_steps microbatches of batch/accum_steps rows,
+    # accumulating fp32 grads — effective batches beyond HBM become
+    # trainable (activations exist per-microbatch). Single-device fit
+    # only (compose with DP by raising data_axis instead).
+    accum_steps: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

@@ -403,3 +403,92 @@ def test_general_B_bf16_mixed_precision_trains():
         for _ in range(30):
             st, loss = step(st, data)
         assert float(loss) < float(loss0), (lw, float(loss0), float(loss))
+
+
+def test_grad_accumulation_matches_full_batch_exactly():
+    """accum_steps on the explicit-batch step computes the EXACT
+    global-mean gradient: equal microbatch chunks -> mean of chunk
+    means == full-batch mean (fp reassociation only), so one update
+    step lands on the same params."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from dladmm_tpu.data.synthetic import make_batch, make_dictionary
+    from dladmm_tpu.models.unroll import init_dladmm_params
+    from dladmm_tpu.train.loop import (
+        make_train_state,
+        make_train_step_from_batch,
+    )
+
+    key = jax.random.PRNGKey(0)
+    kA, kb = jax.random.split(key)
+    A = make_dictionary(kA, 16, 32)
+    params = init_dladmm_params(A, K=4)
+    data = make_batch(kb, A, 32)
+    opt = optax.adam(1e-3)
+
+    step1 = make_train_step_from_batch(opt, A, donate=False)
+    step4 = make_train_step_from_batch(opt, A, donate=False, accum_steps=4)
+    s1, l1 = step1(make_train_state(params, opt), data)
+    s4, l4 = step4(make_train_state(params, opt), data)
+    np.testing.assert_allclose(float(l1), float(l4), rtol=1e-6)
+    for name, a, b in zip(params._fields, s1.params, s4.params):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7, err_msg=name
+        )
+
+    # Deep supervision composes (trajectory loss per microbatch).
+    lw = jnp.full((4,), 0.25)
+    ds1 = make_train_step_from_batch(opt, A, layer_weights=lw, donate=False)
+    ds4 = make_train_step_from_batch(
+        opt, A, layer_weights=lw, donate=False, accum_steps=4
+    )
+    d1, dl1 = ds1(make_train_state(params, opt), data)
+    d4, dl4 = ds4(make_train_state(params, opt), data)
+    np.testing.assert_allclose(float(dl1), float(dl4), rtol=1e-6)
+    for name, a, b in zip(params._fields, d1.params, d4.params):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7, err_msg=name
+        )
+
+    # Non-dividing chunk counts are rejected at trace time.
+    bad = make_train_step_from_batch(opt, A, donate=False, accum_steps=5)
+    with pytest.raises(ValueError, match="divide"):
+        bad(make_train_state(params, opt), data)
+
+
+def test_grad_accumulation_config_surface():
+    """fit honors accum_steps (key-based microbatch generation), and the
+    non-composing paths reject it with a reason."""
+    from dladmm_tpu.train.loop import fit, fit_greedy, fit_sharded
+    from dladmm_tpu.utils.config import ShardingConfig, get_config
+
+    cfg = get_config("smoke")
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, steps=6, accum_steps=4)
+    )
+    params, history = fit(cfg)
+    assert np.isfinite(history[-1]["nmse_db"])
+
+    with pytest.raises(ValueError, match="accum"):
+        fit(
+            dataclasses.replace(
+                cfg,
+                train=dataclasses.replace(
+                    cfg.train, optimizer="fused_adam", clip_mode="delayed"
+                ),
+            )
+        )
+    with pytest.raises(ValueError, match="data_axis"):
+        fit_sharded(
+            dataclasses.replace(cfg, sharding=ShardingConfig(data_axis=2))
+        )
+    with pytest.raises(ValueError, match="accum"):
+        fit_greedy(cfg)
+    with pytest.raises(ValueError, match="divide"):
+        fit(
+            dataclasses.replace(
+                cfg, train=dataclasses.replace(cfg.train, accum_steps=7)
+            )
+        )
