@@ -41,16 +41,29 @@ def save_checkpoint(path: str, state: Any, step: Optional[int] = None) -> str:
     return target
 
 
-def _abstract_leaf(x):
+def _abstract_leaf(x, pin_default: bool = False):
     """ShapeDtypeStruct carrying the template leaf's NamedSharding (if
     any) so sharded training states restore DIRECTLY into their mesh
     layout — no host round-trip, single reader per shard (SURVEY.md §7
-    checkpoint row; exercised by tests/test_resume.py sharded cases)."""
-    from jax.sharding import NamedSharding
+    checkpoint row; exercised by tests/test_resume.py sharded cases).
+
+    Leaves without a NamedSharding normally carry NO sharding, letting
+    orbax restore them with the sharding recorded at save time (e.g. the
+    replicated-over-mesh layout of a sharded state's scalar step/count).
+    With ``pin_default=True`` they are pinned to this backend's default
+    device instead — the fallback for restoring a checkpoint written on
+    a DIFFERENT backend (TPU-trained, CPU-served during a relay outage),
+    where the saved sharding names devices that no longer exist and
+    orbax fails with "sharding ... Got None"."""
+    from jax.sharding import NamedSharding, SingleDeviceSharding
 
     sharding = getattr(x, "sharding", None)
     if isinstance(sharding, NamedSharding):
         return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sharding)
+    if pin_default:
+        return jax.ShapeDtypeStruct(
+            x.shape, x.dtype, sharding=SingleDeviceSharding(jax.devices()[0])
+        )
     return jax.ShapeDtypeStruct(x.shape, x.dtype)
 
 
@@ -63,7 +76,17 @@ def restore_checkpoint(path: str, template: Any) -> Any:
     if _HAS_ORBAX and os.path.isdir(path):
         ckpt = ocp.StandardCheckpointer()
         abstract = jax.tree.map(_abstract_leaf, template)
-        return ckpt.restore(path, abstract)
+        try:
+            return ckpt.restore(path, abstract)
+        except ValueError as e:
+            if "sharding" not in str(e).lower():
+                raise
+            # Cross-backend restore: the checkpoint's saved shardings
+            # name devices of the SAVING backend (see _abstract_leaf).
+            abstract = jax.tree.map(
+                lambda x: _abstract_leaf(x, pin_default=True), template
+            )
+            return ckpt.restore(path, abstract)
     data = np.load(path)
     leaves, treedef = jax.tree.flatten(template)
     restored = [

@@ -27,6 +27,10 @@ measured separately via `python -m dladmm_tpu.run --clip-mode=delayed`
 from __future__ import annotations
 
 import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax.numpy as jnp
 import optax

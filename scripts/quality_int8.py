@@ -14,7 +14,10 @@ pass --cpu to force it, e.g. while the TPU relay is down).
 
 import argparse
 import json
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv=None) -> int:

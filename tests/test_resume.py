@@ -140,3 +140,61 @@ def test_eval_only_cli_reports_trained_metrics(tmp_path, capsys):
     assert evaled["final_nmse_db"] == pytest.approx(
         trained["final_nmse_db"], abs=1e-6
     )
+
+
+def test_cross_backend_restore_fallback(tmp_path, monkeypatch):
+    """Restoring a checkpoint written on a DIFFERENT backend (TPU-trained,
+    CPU-served during a relay outage): orbax's first attempt fails because
+    the saved shardings name devices that no longer exist ("sharding ...
+    Got None"); restore_checkpoint must retry with every unsharded leaf
+    pinned to this backend's default device. Pinned against
+    bench_out/ckpt_large_r3 (axon-written, CPU-restored) manually; here
+    the first restore attempt is forced to fail the way orbax does."""
+    import orbax.checkpoint as ocp
+    from jax.sharding import SingleDeviceSharding
+
+    from dladmm_tpu.train.loop import fit
+    from dladmm_tpu.utils.checkpoint import (
+        latest_step_dir,
+        restore_checkpoint,
+    )
+
+    ck = str(tmp_path / "ck")
+    fit(_cfg(10), ckpt_dir=ck)
+    from dladmm_tpu.train.loop import _build_optimizer, make_train_state
+    from dladmm_tpu.data.synthetic import make_dictionary
+    from dladmm_tpu.models.unroll import init_dladmm_params
+
+    cfg = _cfg(10)
+    key = jax.random.PRNGKey(cfg.train.seed)
+    A = make_dictionary(
+        jax.random.split(key, 3)[0], cfg.problem.m, cfg.problem.n,
+        jax.numpy.float32,
+    )
+    template = make_train_state(
+        init_dladmm_params(A, K=cfg.problem.K, beta=cfg.problem.beta),
+        _build_optimizer(cfg.train),
+    )
+
+    real_restore = ocp.StandardCheckpointer.restore
+    calls = []
+
+    def flaky_restore(self, path, abstract):
+        calls.append(abstract)
+        if len(calls) == 1:
+            raise ValueError(
+                "sharding passed to deserialization should be specified, "
+                "concrete and an instance of `jax.sharding.Sharding`. "
+                "Got None"
+            )
+        return real_restore(self, path, abstract)
+
+    monkeypatch.setattr(ocp.StandardCheckpointer, "restore", flaky_restore)
+    restored = restore_checkpoint(latest_step_dir(ck), template)
+    assert len(calls) == 2
+    # Second attempt pinned every leaf to a concrete device.
+    for leaf in jax.tree.leaves(calls[1]):
+        assert isinstance(leaf.sharding, SingleDeviceSharding)
+    np.testing.assert_array_equal(
+        np.asarray(restored.step), np.asarray(10)
+    )
