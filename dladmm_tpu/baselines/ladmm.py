@@ -26,7 +26,10 @@ from jax import Array
 from dladmm_tpu.models.unroll import spectral_norm_sq
 
 
-@functools.partial(jax.jit, static_argnames=("iters", "capture_trajectory"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("iters", "capture_trajectory", "prox_x", "prox_z"),
+)
 def ladmm_run(
     A: Array,
     b: Array,
@@ -36,6 +39,8 @@ def ladmm_run(
     L_A: Optional[Array] = None,
     L_B: Optional[Array] = None,
     capture_trajectory: bool = False,
+    prox_x=None,
+    prox_z=None,
 ):
     """Run `iters` classical LADMM iterations from zero state.
 
@@ -43,6 +48,13 @@ def ladmm_run(
     Returns the final (x, z, lam), plus stacked per-iteration states when
     capture_trajectory (for the NMSE-vs-iteration comparison curve,
     SURVEY.md §5.3).
+
+    prox_x/prox_z: optional proximal operators ``prox(u, theta)``
+    replacing the l1 soft-threshold (None = l1), so the classical
+    baseline covers the same general-f/g instantiations as the learned
+    net (ops/prox.py). The LADMM-exact-init equivalence holds for ANY
+    prox pair as long as both sides use the same one
+    (tests/test_prox.py).
     """
     m, n = A.shape
     d = m if B is None else B.shape[1]
@@ -69,12 +81,15 @@ def ladmm_run(
     def shrink(u, t):
         return jnp.sign(u) * jnp.maximum(jnp.abs(u) - t, 0.0)
 
+    px = shrink if prox_x is None else prox_x
+    pz = shrink if prox_z is None else prox_z
+
     def body(carry, _):
         x, z, lam = carry
         r = x @ A.T + Bz(z) - b
-        x = shrink(x - sx * ((lam + beta * r) @ A), sx)
+        x = px(x - sx * ((lam + beta * r) @ A), sx)
         r2 = x @ A.T + Bz(z) - b
-        z = shrink(z - sz * BT(lam + beta * r2), sz)
+        z = pz(z - sz * BT(lam + beta * r2), sz)
         lam = lam + beta * (x @ A.T + Bz(z) - b)
         ys = (x, z, lam) if capture_trajectory else None
         return (x, z, lam), ys

@@ -101,16 +101,24 @@ def make_batch(
     sparsity_e: float = 0.1,
     dtype=jnp.float32,
     B: Array | None = None,
+    nonneg_x: bool = False,
 ) -> SyntheticBatch:
     """One batch of (b, x*, e*) with b = A x* + e*. Jit-safe.
 
     With a general z-dictionary B (m, d) the z stream is itself a sparse
     code: e_star becomes z* of shape (batch, d) with sparsity_e support,
     and b = A x* + B z* (SURVEY.md §2's general constraint Ax + Bz = b).
+
+    nonneg_x=True folds the Gaussian values of x* to |N(0,1)| (half-
+    normal) so the ground truth lives in the nonnegative sparse-coding
+    model class — pairs with ProblemConfig.prox_x="nonneg_l1"
+    (ops/prox.py).
     """
     m, n = A.shape
     kx, ke = jax.random.split(key)
     x_star = _bernoulli_gaussian(kx, (batch, n), sparsity_x, dtype)
+    if nonneg_x:
+        x_star = jnp.abs(x_star)
     if B is None:
         e_star = _bernoulli_gaussian(ke, (batch, m), sparsity_e, dtype)
         b = x_star @ A.T + e_star

@@ -35,6 +35,12 @@ class DLADMMSolver:
     params: DLADMMParams
     B: Optional[Array] = None
     kernel: str = "auto"
+    # Proximal operators (ops/prox.py registry names). Non-l1 pairs run
+    # the XLA scan with the general prox step — the Pallas fast paths
+    # are l1-specialized (SURVEY.md §2 point 4's fast-path philosophy).
+    prox_x: str = "l1"
+    prox_z: str = "l1"
+    prox_rho: float = 0.0
 
     @classmethod
     def create(
@@ -44,17 +50,47 @@ class DLADMMSolver:
         K: int = 15,
         beta: float = 1.0,
         kernel: str = "auto",
+        prox_x: str = "l1",
+        prox_z: str = "l1",
+        prox_rho: float = 0.0,
     ) -> "DLADMMSolver":
         return cls(
             A=A, params=init_dladmm_params(A, B, K=K, beta=beta), B=B,
-            kernel=kernel,
+            kernel=kernel, prox_x=prox_x, prox_z=prox_z, prox_rho=prox_rho,
         )
 
     @property
     def K(self) -> int:
         return self.params.K
 
+    def _prox_step(self):
+        """The general-prox cached layer step, or None for l1/l1.
+
+        Cached on the instance (object.__setattr__ on the frozen
+        dataclass) so repeated solve/trajectory calls reuse ONE step
+        callable — jit treats step_fn as a static argument, and a fresh
+        closure per call would retrace every time."""
+        cached = getattr(self, "_prox_step_cache", False)
+        if cached is not False:
+            return cached
+        from dladmm_tpu.ops.prox import get_prox, is_l1
+        from dladmm_tpu.ops.reference import make_cached_step
+
+        step = (
+            None
+            if is_l1(self.prox_x, self.prox_z, self.prox_rho)
+            else make_cached_step(
+                get_prox(self.prox_x, self.prox_rho),
+                get_prox(self.prox_z, self.prox_rho),
+            )
+        )
+        object.__setattr__(self, "_prox_step_cache", step)
+        return step
+
     def _paths(self, S: int, need_trajectory: bool = False):
+        step = self._prox_step()
+        if step is not None:
+            return None, step, "xla-scan-general-prox"
         m, n = self.A.shape
         d = m if self.B is None else self.B.shape[1]
         return select_forward(
@@ -75,7 +111,11 @@ class DLADMMSolver:
 
     def trajectory(self, b: Array):
         """Per-layer (x_k, z_k, lam_k) stacks, (K, S, ·)."""
-        if self.B is None and self.kernel in ("auto", "megakernel", "pallas"):
+        if (
+            self.B is None
+            and self._prox_step() is None
+            and self.kernel in ("auto", "megakernel", "pallas")
+        ):
             from dladmm_tpu.ops.pallas_unroll import (
                 make_unrolled_trajectory,
                 unroll_fits_vmem,
@@ -107,9 +147,13 @@ class DLADMMSolver:
         lr: float = 1e-3,
         sparsity_x: float = 0.1,
         sparsity_e: float = 0.1,
+        nonneg_x: bool = False,
     ) -> "DLADMMSolver":
         """End-to-end supervised training on synthetic data drawn from
-        this solver's dictionary; returns a NEW solver."""
+        this solver's dictionary; returns a NEW solver.
+
+        nonneg_x: generate nonnegative ground-truth x* (pairs with
+        prox_x='nonneg_l1')."""
         from dladmm_tpu.train.loop import TrainState, make_train_step
 
         forward_fn, step_fn, _ = self._paths(batch)
@@ -117,7 +161,7 @@ class DLADMMSolver:
         # donate=False: this solver's params pytree must stay alive.
         step = make_train_step(
             optimizer, self.A, batch, sparsity_x, sparsity_e, self.B,
-            None, step_fn, forward_fn, donate=False,
+            None, step_fn, forward_fn, donate=False, nonneg_x=nonneg_x,
         )
         state = TrainState(
             self.params, optimizer.init(self.params),

@@ -76,6 +76,88 @@ def apply_B(z: Array, B: Optional[Array]) -> Array:
     return z if B is None else apply_dict(z, B)
 
 
+def make_layer_step(prox_x=shrink, prox_z=shrink):
+    """Build a plain layer step for general proximal operators f/g.
+
+    The D-LADMM recurrence (SURVEY.md §2) with the two shrink
+    applications replaced by arbitrary ``prox(u, theta)`` callables
+    (ops/prox.py registry): the parameters, Gauss-Seidel ordering, and
+    dual update are identical — only the nonlinearity changes. The
+    default (shrink, shrink) IS the reference l1/l1 instantiation;
+    ``dladmm_layer_step`` below is that instance.
+
+    Returned signature: ``step(A, B, b, x, z, lam, p) -> (x1, z1, lam1)``.
+    """
+
+    def step(
+        A: Array,
+        B: Optional[Array],
+        b: Array,
+        x: Array,
+        z: Array,
+        lam: Array,
+        p: LayerParams,
+    ):
+        beta = jnp.maximum(p.beta, _BETA_MIN)
+        inv_beta = 1.0 / beta
+        # Shifted primal residual u = A x + B z - b + lam/beta.
+        Ax = apply_dict(x, A)
+        base = apply_B(z, B) - b + lam * inv_beta
+        u = Ax + base
+        x_next = prox_x(x - apply_dict(u, p.W1), p.theta1)
+        # Gauss-Seidel: v uses the fresh x_next (SURVEY.md §2 point 3).
+        Ax_next = apply_dict(x_next, A)
+        v = Ax_next + base
+        z_next = prox_z(z - apply_dict(v, p.W2), p.theta2)
+        lam_next = lam + beta * (Ax_next + apply_B(z_next, B) - b)
+        return x_next, z_next, lam_next
+
+    return step
+
+
+def make_cached_step(prox_x=shrink, prox_z=shrink):
+    """Build a cached-matvec layer step for general proximal operators.
+
+    Same recurrence as make_layer_step but carrying A x_k / B z_k across
+    layers (~33% fewer matmul FLOPs — see dladmm_layer_step_cached).
+    This is the step_fn shape dladmm_forward's scan consumes; non-l1
+    proxes plug into the full train/eval stack through it
+    (ProblemConfig.prox_x/prox_z -> train.loop.fit).
+
+    Returned signature:
+    ``step(A, B, b, x, z, lam, Ax, Bz, p) -> (x1, z1, lam1, Ax1, Bz1)``.
+    """
+
+    def step(
+        A: Array,
+        B: Optional[Array],
+        b: Array,
+        x: Array,
+        z: Array,
+        lam: Array,
+        Ax: Array,
+        Bz: Array,
+        p: LayerParams,
+    ):
+        beta = jnp.maximum(p.beta, _BETA_MIN)
+        inv_beta = 1.0 / beta
+        base = Bz - b + lam * inv_beta
+        u = Ax + base
+        x_next = prox_x(x - apply_dict(u, p.W1), p.theta1)
+        Ax_next = apply_dict(x_next, A)
+        v = Ax_next + base
+        z_next = prox_z(z - apply_dict(v, p.W2), p.theta2)
+        Bz_next = apply_B(z_next, B)
+        lam_next = lam + beta * (Ax_next + Bz_next - b)
+        return x_next, z_next, lam_next, Ax_next, Bz_next
+
+    return step
+
+
+_l1_plain_step = make_layer_step()
+_l1_cached_step = make_cached_step()
+
+
 def dladmm_layer_step(
     A: Array,
     B: Optional[Array],
@@ -87,6 +169,9 @@ def dladmm_layer_step(
 ):
     """One D-LADMM layer (SURVEY.md §2 recurrence; call stack §5.2).
 
+    The reference l1/l1 instantiation of make_layer_step (shrink for
+    both proxes).
+
     Args:
       A: dictionary (m, n) — data, not a parameter.
       B: (m, d) or None for B = I.
@@ -97,19 +182,7 @@ def dladmm_layer_step(
     Returns:
       (x_next, z_next, lam_next).
     """
-    beta = jnp.maximum(p.beta, _BETA_MIN)
-    inv_beta = 1.0 / beta
-    # Shifted primal residual u = A x + B z - b + lam/beta.
-    Ax = apply_dict(x, A)
-    base = apply_B(z, B) - b + lam * inv_beta
-    u = Ax + base
-    x_next = shrink(x - apply_dict(u, p.W1), p.theta1)
-    # Gauss-Seidel: v uses the fresh x_next (SURVEY.md §2 point 3).
-    Ax_next = apply_dict(x_next, A)
-    v = Ax_next + base
-    z_next = shrink(z - apply_dict(v, p.W2), p.theta2)
-    lam_next = lam + beta * (Ax_next + apply_B(z_next, B) - b)
-    return x_next, z_next, lam_next
+    return _l1_plain_step(A, B, b, x, z, lam, p)
 
 
 def dladmm_layer_step_cached(
@@ -131,20 +204,11 @@ def dladmm_layer_step_cached(
     layer k+1's residual, so the scan carries (Ax, Bz) alongside the
     state — ~33% fewer matmul FLOPs than the reference recurrence at
     B = I. For k=0 the carries are zero because x_0 = z_0 = 0.
+    The reference l1/l1 instantiation of make_cached_step.
 
     Returns (x1, z1, lam1, Ax1, Bz1).
     """
-    beta = jnp.maximum(p.beta, _BETA_MIN)
-    inv_beta = 1.0 / beta
-    base = Bz - b + lam * inv_beta
-    u = Ax + base
-    x_next = shrink(x - apply_dict(u, p.W1), p.theta1)
-    Ax_next = apply_dict(x_next, A)
-    v = Ax_next + base
-    z_next = shrink(z - apply_dict(v, p.W2), p.theta2)
-    Bz_next = apply_B(z_next, B)
-    lam_next = lam + beta * (Ax_next + Bz_next - b)
-    return x_next, z_next, lam_next, Ax_next, Bz_next
+    return _l1_cached_step(A, B, b, x, z, lam, Ax, Bz, p)
 
 
 def init_state(b: Array, n: int, d: int):

@@ -58,6 +58,26 @@ def main(argv=None) -> int:
         "clip_mode=delayed when clip_norm is set",
     )
     ap.add_argument(
+        "--prox-x",
+        choices=["l1", "nonneg_l1", "elastic_net", "box", "group_l2"],
+        default=None,
+        help="proximal operator for the x update (ops/prox.py); non-l1 "
+        "pairs train through the XLA scan + autodiff and the eval's "
+        "LADMM comparison curve uses the same prox",
+    )
+    ap.add_argument(
+        "--prox-z",
+        choices=["l1", "nonneg_l1", "elastic_net", "box", "group_l2"],
+        default=None,
+        help="proximal operator for the z update",
+    )
+    ap.add_argument(
+        "--nonneg-x",
+        action="store_true",
+        help="generate nonnegative ground-truth x* (half-normal values) "
+        "— pairs with --prox-x=nonneg_l1",
+    )
+    ap.add_argument(
         "--log-jsonl", default=None, help="append per-eval scalar records here"
     )
     ap.add_argument("--plot", default=None, help="save NMSE-vs-layer PNG here")
@@ -161,6 +181,17 @@ def main(argv=None) -> int:
     if overrides:
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train, **overrides)
+        )
+    prob_overrides = {}
+    for src, dst in (("prox_x", "prox_x"), ("prox_z", "prox_z")):
+        v = getattr(args, src)
+        if v is not None:
+            prob_overrides[dst] = v
+    if args.nonneg_x:
+        prob_overrides["nonneg_x"] = True
+    if prob_overrides:
+        cfg = dataclasses.replace(
+            cfg, problem=dataclasses.replace(cfg.problem, **prob_overrides)
         )
 
     from dladmm_tpu.utils.logging import JsonlLogger
@@ -295,7 +326,36 @@ def main(argv=None) -> int:
             print(f"torch export saved: {args.export_torch}")
         return 0
 
-    if not p.identity_B:
+    from dladmm_tpu.train.loop import resolve_prox
+
+    if resolve_prox(p) is not None:
+        # General proximal operators (ops/prox.py): fit() builds the
+        # prox layer step itself (ops/reference.make_cached_step) and
+        # routes through the XLA scan + autodiff; the fused Pallas
+        # kernels and the manual reverse-scan VJP are l1-specialized.
+        if cfg.train.kernel not in ("auto", "reference"):
+            ap.error(
+                f"--kernel={cfg.train.kernel} covers the l1/l1 "
+                "instantiation only; general-prox configs run the XLA "
+                "scan"
+            )
+        if cfg.train.optimizer == "fused_adam":
+            ap.error(
+                "--optimizer=fused_adam hand-writes the l1 backward; "
+                "general-prox configs use the optax chain"
+            )
+        if cfg.train.vjp != "auto":
+            ap.error(
+                "general-prox configs route through XLA autodiff "
+                "automatically; drop --vjp"
+            )
+        forward_fn, step_fn = None, None
+        desc = (
+            f"xla-scan + autodiff (prox {p.prox_x}/{p.prox_z}"
+            + (", general B" if not p.identity_B else "")
+            + ")"
+        )
+    elif not p.identity_B:
         # General z-dictionary B: the fused Pallas forwards assume B = I
         # (SURVEY.md §2 point 4), so the forward is the XLA scan and the
         # backward the manual general-B reverse scan (ops/unroll_vjp.py)

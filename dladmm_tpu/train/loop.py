@@ -43,6 +43,22 @@ class TrainState(NamedTuple):
     compute_params: Optional[DLADMMParams] = None
 
 
+def resolve_prox(p):
+    """ProblemConfig -> (prox_x, prox_z) callables, or None for the
+    reference l1/l1 instantiation (which keeps the Pallas / manual-VJP
+    fast paths). The single place config prox names become functions —
+    fit() builds the general step_fn from it and evaluate() hands the
+    same pair to the classical LADMM comparison curve."""
+    from dladmm_tpu.ops.prox import get_prox, is_l1
+
+    px = getattr(p, "prox_x", "l1")
+    pz = getattr(p, "prox_z", "l1")
+    rho = getattr(p, "prox_rho", 0.0)
+    if is_l1(px, pz, rho):
+        return None
+    return get_prox(px, rho), get_prox(pz, rho)
+
+
 def make_train_state(
     params: DLADMMParams,
     optimizer: optax.GradientTransformation,
@@ -179,6 +195,7 @@ def make_train_step(
     freeze: tuple = (),
     vjp: str = "auto",
     accum_steps: int = 1,
+    nonneg_x: bool = False,
 ) -> Callable[[TrainState, jax.Array], tuple]:
     """Build the fully fused train step: key -> data -> grad -> update.
 
@@ -225,7 +242,7 @@ def make_train_step(
 
         def micro_grad(k):
             data = make_batch(
-                k, A, micro, sparsity_x, sparsity_e, A.dtype, B
+                k, A, micro, sparsity_x, sparsity_e, A.dtype, B, nonneg_x
             )
             if compute_dtype is not None and state.compute_params is not None:
                 return jax.value_and_grad(loss_fn)(
@@ -414,14 +431,27 @@ def make_train_step_from_batch(
     return jax.jit(_step, donate_argnums=(0,) if donate else ())
 
 
-@functools.partial(jax.jit, static_argnames=("ladmm_iters", "step_fn"))
-def _eval_jit(params, A, b, x_star, z_star, B, ladmm_iters, step_fn):
+@functools.partial(
+    jax.jit,
+    static_argnames=("ladmm_iters", "step_fn", "prox_x", "prox_z"),
+)
+def _eval_jit(
+    params, A, b, x_star, z_star, B, ladmm_iters, step_fn, prox_x, prox_z
+):
     (x, z, _), (tx, tz, _) = dladmm_forward(
         params, A, b, B=B, capture_trajectory=True, step_fn=step_fn
     )
     curve = per_layer_nmse_db(tx, x_star)
+    # The classical comparison curve runs the SAME prox pair as the net
+    # (ops/prox.py), so general-prox configs are judged like-for-like.
     (_, _, _), (lx, _, _) = ladmm_run(
-        A, b, B=B, iters=ladmm_iters, capture_trajectory=True
+        A,
+        b,
+        B=B,
+        iters=ladmm_iters,
+        capture_trajectory=True,
+        prox_x=prox_x,
+        prox_z=prox_z,
     )
     ladmm_curve = per_layer_nmse_db(lx, x_star)
     return {
@@ -440,9 +470,15 @@ def evaluate(
     B: Optional[Array] = None,
     ladmm_iters: Optional[int] = None,
     step_fn=None,
+    prox_x=None,
+    prox_z=None,
 ):
     """NMSE(dB)/residual at the final layer + NMSE-vs-layer curves for the
-    learned net and the classical LADMM baseline (SURVEY.md §5.3)."""
+    learned net and the classical LADMM baseline (SURVEY.md §5.3).
+
+    prox_x/prox_z (None = l1) select the classical baseline's proximal
+    operators; pass the same pair whose step_fn drives the net so the
+    comparison curve solves the same problem."""
     K = params.W1.shape[0]
     out = _eval_jit(
         params,
@@ -453,6 +489,8 @@ def evaluate(
         B,
         ladmm_iters or K,
         step_fn,
+        prox_x,
+        prox_z,
     )
     return jax.tree.map(lambda v: jax.device_get(v), out)
 
@@ -587,6 +625,34 @@ def fit(
     )
     layer_weights = _layer_weights(t.layer_loss, p.K, dtype)
 
+    # General proximal operators (ops/prox.py): swap the layer step's
+    # nonlinearity, keep everything else — the LADMM-exact init, loss,
+    # optimizer, and eval are prox-agnostic. Routes through the XLA scan
+    # + autodiff (loss_fn treats any custom step_fn that way).
+    prox = resolve_prox(p)
+    nonneg_x = getattr(p, "nonneg_x", False)
+    prox_x_fn = prox_z_fn = None
+    if prox is not None:
+        if step_fn is not None or forward_fn is not None:
+            raise ValueError(
+                "general-prox configs own the layer step (ops/reference."
+                "make_cached_step); pass step_fn=forward_fn=None"
+            )
+        if getattr(t, "optimizer", "adam") == "fused_adam":
+            raise ValueError(
+                "optimizer='fused_adam' hand-writes the l1 backward; "
+                "general-prox configs use optimizer='adam'"
+            )
+        if getattr(t, "vjp", "auto") != "auto":
+            raise ValueError(
+                "general-prox configs route through XLA autodiff "
+                "automatically; leave vjp='auto'"
+            )
+        from dladmm_tpu.ops.reference import make_cached_step
+
+        prox_x_fn, prox_z_fn = prox
+        step_fn = make_cached_step(prox_x_fn, prox_z_fn)
+
     compute_dtype = (
         jnp.bfloat16 if t.compute_dtype == "bfloat16" else None
     )
@@ -616,6 +682,12 @@ def fit(
                 "optimizer='fused_adam' applies the update INSIDE the "
                 "backward of one batch — gradient accumulation does not "
                 "compose; use optimizer='adam' with accum_steps"
+            )
+        if nonneg_x:
+            raise ValueError(
+                "nonneg_x pairs with prox_x='nonneg_l1', which "
+                "optimizer='fused_adam' does not cover (l1-only manual "
+                "backward); use optimizer='adam'"
             )
         from dladmm_tpu.train.fused_adam import (
             make_fused_adam_state,
@@ -651,10 +723,12 @@ def fit(
             freeze=tuple(t.freeze),
             vjp=getattr(t, "vjp", "auto"),
             accum_steps=getattr(t, "accum_steps", 1),
+            nonneg_x=nonneg_x,
         )
         state = make_train_state(params, optimizer, compute_dtype)
     eval_data = make_batch(
-        k_eval, A, t.eval_batch, p.sparsity_x, p.sparsity_e, dtype, B
+        k_eval, A, t.eval_batch, p.sparsity_x, p.sparsity_e, dtype, B,
+        nonneg_x,
     )
 
     start = 0
@@ -690,7 +764,15 @@ def fit(
         sub = jax.random.fold_in(k_train, i)
         state, loss = train_step(state, sub)
         if (i + 1) % t.eval_every == 0 or i + 1 == t.steps:
-            ev = evaluate(state.params, A, eval_data, B, step_fn=step_fn)
+            ev = evaluate(
+                state.params,
+                A,
+                eval_data,
+                B,
+                step_fn=step_fn,
+                prox_x=prox_x_fn,
+                prox_z=prox_z_fn,
+            )
             rec = {
                 "step": i + 1,
                 "loss": float(loss),
@@ -709,7 +791,15 @@ def fit(
     if not history:
         # Resumed at (or past) the final step: report the restored
         # model's metrics instead of returning an empty history.
-        ev = evaluate(state.params, A, eval_data, B, step_fn=step_fn)
+        ev = evaluate(
+            state.params,
+            A,
+            eval_data,
+            B,
+            step_fn=step_fn,
+            prox_x=prox_x_fn,
+            prox_z=prox_z_fn,
+        )
         rec = {
             "step": int(state.step),
             "loss": float("nan"),
@@ -757,6 +847,12 @@ def fit_greedy(
         raise ValueError(
             "fit_greedy does not support gradient accumulation; use the "
             "end-to-end fit()"
+        )
+    if resolve_prox(p) is not None or getattr(p, "nonneg_x", False):
+        raise ValueError(
+            "fit_greedy supports the l1/l1 reference instantiation only "
+            "(its stage losses use the l1 fast paths); train general-prox "
+            "configs end-to-end via fit()"
         )
     from dladmm_tpu.data.synthetic import seed_keys
 
@@ -928,6 +1024,13 @@ def fit_sharded(
     )
 
     p, t, s = config.problem, config.train, config.sharding
+    if resolve_prox(p) is not None or getattr(p, "nonneg_x", False):
+        raise ValueError(
+            "fit_sharded covers the l1/l1 instantiation only (the "
+            "per-shard fast paths and TP collective algebra are "
+            "l1-specialized); train general-prox configs single-device "
+            "via fit()"
+        )
     general_b = not getattr(p, "identity_B", True)
     if general_b and s.model_axis > 1:
         raise ValueError(

@@ -24,6 +24,19 @@ class ProblemConfig:
     # (None = m). fit() builds B as its own Gaussian unit-column
     # dictionary and the data becomes b = A x* + B z*.
     d: Optional[int] = None
+    # Proximal operators for the x / z updates (ops/prox.py registry:
+    # l1 | nonneg_l1 | elastic_net | box | group_l2). The paper states
+    # D-LADMM for general f/g; "l1"/"l1" is the reference benchmark
+    # instantiation and the only pair the fused Pallas kernels + manual
+    # reverse-scan VJP cover — any other pair trains through the XLA
+    # scan + autodiff (train/loop.py routing).
+    prox_x: str = "l1"
+    prox_z: str = "l1"
+    # elastic_net curvature rho (prox of theta*|.|_1 + rho/2 |.|^2).
+    prox_rho: float = 0.0
+    # Generator: fold x* values to |N(0,1)| so the ground truth is
+    # nonnegative (pairs with prox_x="nonneg_l1").
+    nonneg_x: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -171,6 +184,26 @@ PRESETS = {
     "synthetic_general_b": Config(
         name="synthetic_general_b",
         problem=ProblemConfig(m=100, n=200, K=10, identity_B=False, d=150),
+        train=TrainConfig(
+            batch=64,
+            steps=3000,
+            lr=1e-3,
+            lr_schedule="cosine",
+            clip_norm=1.0,
+            eval_every=500,
+            layer_loss="uniform",
+        ),
+    ),
+    # Nonnegative sparse coding: prox_x = one-sided shrink (prox of
+    # ||x||_1 + indicator(x >= 0)) with half-normal ground-truth x*.
+    # Exercises the general-prox surface (ops/prox.py) end-to-end on a
+    # CPU-runnable shape — the net and the LADMM comparison curve both
+    # run the nonneg prox, so the quality bar is like-for-like.
+    "synthetic_nonneg": Config(
+        name="synthetic_nonneg",
+        problem=ProblemConfig(
+            m=100, n=200, K=10, prox_x="nonneg_l1", nonneg_x=True
+        ),
         train=TrainConfig(
             batch=64,
             steps=3000,
