@@ -90,6 +90,15 @@ class DLADMMSolver:
     def _paths(self, S: int, need_trajectory: bool = False):
         step = self._prox_step()
         if step is not None:
+            if self.kernel in ("pallas", "megakernel"):
+                # Mirror run.py's guard: an explicit Pallas selection
+                # with a non-l1 prox would otherwise silently run the
+                # XLA-scan general step (ADVICE r3).
+                raise ValueError(
+                    f"kernel={self.kernel!r} is l1/l1-only; prox "
+                    f"{self.prox_x}/{self.prox_z} runs the XLA scan "
+                    "(use kernel='auto' or 'reference')"
+                )
             return None, step, "xla-scan-general-prox"
         m, n = self.A.shape
         d = m if self.B is None else self.B.shape[1]

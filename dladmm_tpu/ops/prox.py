@@ -72,8 +72,16 @@ def prox_group_l2(u: Array, theta: Array) -> Array:
     ops/reference.py: (S, n)/(S, d)), i.e. one group per sample.
     """
     t = jnp.maximum(theta, 0.0)
-    norm = jnp.linalg.norm(u, axis=-1, keepdims=True)
-    scale = jnp.maximum(1.0 - t / jnp.maximum(norm, 1e-12), 0.0)
+    # Safe-norm: sqrt's VJP is inf at 0, so an exactly-zero row yields
+    # 0 * inf = NaN gradients that poison the whole batch's parameter
+    # grads — and a `where` AFTER the norm doesn't help (0 * NaN = NaN in
+    # the VJP chain). Guard inside: route zero rows through sqrt(1), then
+    # select the 0 branch; the outer where's VJP sends those rows a zero
+    # cotangent through a finite path.
+    sq = jnp.sum(u * u, axis=-1, keepdims=True)
+    pos = sq > 0.0
+    norm = jnp.sqrt(jnp.where(pos, sq, 1.0))
+    scale = jnp.where(pos, jnp.maximum(1.0 - t / norm, 0.0), 0.0)
     return u * scale
 
 

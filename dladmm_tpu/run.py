@@ -72,6 +72,14 @@ def main(argv=None) -> int:
         help="proximal operator for the z update",
     )
     ap.add_argument(
+        "--prox-rho",
+        type=float,
+        default=None,
+        help="elastic_net curvature rho (prox of theta*|.|_1 + "
+        "rho/2*|.|^2); required > 0 with --prox-x/z=elastic_net "
+        "(rho=0 IS l1)",
+    )
+    ap.add_argument(
         "--nonneg-x",
         action="store_true",
         help="generate nonnegative ground-truth x* (half-normal values) "
@@ -187,11 +195,22 @@ def main(argv=None) -> int:
         v = getattr(args, src)
         if v is not None:
             prob_overrides[dst] = v
+    if args.prox_rho is not None:
+        prob_overrides["prox_rho"] = args.prox_rho
     if args.nonneg_x:
         prob_overrides["nonneg_x"] = True
     if prob_overrides:
         cfg = dataclasses.replace(
             cfg, problem=dataclasses.replace(cfg.problem, **prob_overrides)
+        )
+    # elastic_net with rho=0 IS l1 (is_l1() classifies it so) — the flag
+    # would silently have no effect; require an explicit rho (ADVICE r3).
+    if "elastic_net" in (cfg.problem.prox_x, cfg.problem.prox_z) and (
+        cfg.problem.prox_rho == 0.0
+    ):
+        ap.error(
+            "prox=elastic_net needs --prox-rho > 0 (rho=0 reduces to l1; "
+            "pass --prox-x=l1 if that is what you want)"
         )
 
     from dladmm_tpu.utils.logging import JsonlLogger

@@ -77,6 +77,7 @@ class InferenceServer:
         dtype=None,
         layers: Optional[int] = None,
         B: Optional[Array] = None,
+        step_fn=None,
     ):
         """dtype=jnp.bfloat16 serves in bf16 (params/A cast once at
         construction, requests cast per call): ~2x less HBM per solve.
@@ -100,10 +101,28 @@ class InferenceServer:
         bf16 MXU peak and half its weight HBM traffic on TPU v5e.
         Identity-B only; quality delta vs fp32 is measured in
         BASELINE.md — check it for your dictionary before enabling,
-        exactly as for bf16."""
+        exactly as for bf16.
+
+        step_fn: a general-prox layer step (ops/reference.make_cached_step
+        over ops/prox.py operators) for solvers trained with non-l1
+        prox_x/prox_z — served via the XLA-scan forward, like general B.
+        A model trained under a non-l1 prox MUST be served with the same
+        step_fn, or the l1 shrink silently replaces the trained prox."""
         params, A, B, self._quantized = _prep_serving(
             params, A, B, dtype, layers
         )
+        if step_fn is not None:
+            if self._quantized:
+                raise ValueError(
+                    "dtype='int8' serving is l1/l1-only (ops/quantized.py "
+                    "hard-codes the shrink); serve general-prox solvers "
+                    "in float32 or bfloat16"
+                )
+            if kernel not in ("auto", "reference"):
+                raise ValueError(
+                    f"kernel={kernel!r} requires the l1/l1 instantiation; "
+                    "general-prox serving runs the XLA scan"
+                )
         if self._quantized and kernel not in (
             "auto",
             "reference",
@@ -165,10 +184,23 @@ class InferenceServer:
                 ).compile()
             return
         for S in self.buckets:
-            if B is None:
+            if B is None and step_fn is None:
                 forward_fn, _ = resolve_forward(m, n, d, S, kernel=kernel)
                 fn = jax.jit(
                     lambda p, A_, b_, _f=forward_fn: _f(p, A_, b_)[:2]
+                )
+                self._compiled[S] = fn.lower(
+                    params, A, jax.ShapeDtypeStruct((S, m), A.dtype)
+                ).compile()
+            elif B is None:
+                # General prox, identity B: the XLA-scan forward with the
+                # trained prox pair baked into the layer step.
+                from dladmm_tpu.models.unroll import dladmm_forward
+
+                fn = jax.jit(
+                    lambda p, A_, b_: dladmm_forward(
+                        p, A_, b_, step_fn=step_fn
+                    )[:2]
                 )
                 self._compiled[S] = fn.lower(
                     params, A, jax.ShapeDtypeStruct((S, m), A.dtype)
@@ -179,7 +211,9 @@ class InferenceServer:
                 from dladmm_tpu.models.unroll import dladmm_forward
 
                 fn = jax.jit(
-                    lambda p, A_, B_, b_: dladmm_forward(p, A_, b_, B=B_)[:2]
+                    lambda p, A_, B_, b_: dladmm_forward(
+                        p, A_, b_, B=B_, step_fn=step_fn
+                    )[:2]
                 )
                 self._compiled[S] = fn.lower(
                     params, A, B, jax.ShapeDtypeStruct((S, m), A.dtype)
@@ -252,6 +286,7 @@ class ShardedInferenceServer:
         dtype=None,
         layers: Optional[int] = None,
         B: Optional[Array] = None,
+        step_fn=None,
     ):
         from jax.sharding import NamedSharding
         from jax.sharding import PartitionSpec as P
@@ -274,6 +309,17 @@ class ShardedInferenceServer:
         params, A, B, self._quantized = _prep_serving(
             params, A, B, dtype, layers
         )
+        if step_fn is not None:
+            if self._quantized:
+                raise ValueError(
+                    "dtype='int8' serving is l1/l1-only; serve "
+                    "general-prox solvers in float32 or bfloat16"
+                )
+            if kernel not in ("auto", "reference"):
+                raise ValueError(
+                    f"kernel={kernel!r} requires the l1/l1 instantiation; "
+                    "general-prox serving runs the XLA scan"
+                )
         m, n = A.shape
         d = params.W2.shape[1]
         self.mesh = mesh
@@ -363,7 +409,7 @@ class ShardedInferenceServer:
             )
         for S in self.buckets:
             Sl = S // T
-            if B is None:
+            if B is None and step_fn is None:
                 # Kernel policy resolved at the PER-CHIP rows: each
                 # chip serves bucket/T rows of the bucket.
                 forward_fn, _ = resolve_forward(m, n, d, Sl, kernel=kernel)
@@ -377,13 +423,29 @@ class ShardedInferenceServer:
                         (S, m), self.A.dtype, sharding=self._rows
                     ),
                 ).compile()
+            elif B is None:
+                from dladmm_tpu.models.unroll import dladmm_forward
+
+                fn = _sharded(
+                    lambda p, A_, b_: dladmm_forward(
+                        p, A_, b_, step_fn=step_fn
+                    )[:2],
+                    3,
+                )
+                self._compiled[S] = fn.lower(
+                    self.params,
+                    self.A,
+                    jax.ShapeDtypeStruct(
+                        (S, m), self.A.dtype, sharding=self._rows
+                    ),
+                ).compile()
             else:
                 from dladmm_tpu.models.unroll import dladmm_forward
 
                 fn = _sharded(
-                    lambda p, A_, B_, b_: dladmm_forward(p, A_, b_, B=B_)[
-                        :2
-                    ],
+                    lambda p, A_, B_, b_: dladmm_forward(
+                        p, A_, b_, B=B_, step_fn=step_fn
+                    )[:2],
                     4,
                 )
                 self._compiled[S] = fn.lower(
@@ -695,6 +757,27 @@ def main(argv=None) -> int:
 
     cfg = get_config(args.config)
     A, B = problem_matrices(cfg)
+    # General-prox configs (ADVICE r3): the served forward must run the
+    # SAME prox pair the model was trained with — silently serving the
+    # l1 shrink would return wrong outputs for e.g. synthetic_nonneg.
+    from dladmm_tpu.train.loop import resolve_prox
+
+    prox = resolve_prox(cfg.problem)
+    step_fn = None
+    if prox is not None:
+        from dladmm_tpu.ops.reference import make_cached_step
+
+        if args.dtype == "int8":
+            ap.error(
+                f"--dtype=int8 is l1/l1-only; config {args.config!r} "
+                f"trains prox {cfg.problem.prox_x}/{cfg.problem.prox_z}"
+            )
+        if args.kernel not in ("auto", "reference"):
+            ap.error(
+                f"--kernel={args.kernel} is l1/l1-only; general-prox "
+                "serving runs the XLA scan (use --kernel=auto)"
+            )
+        step_fn = make_cached_step(*prox)
     if args.ckpt_dir:
         params = _load_ckpt_params(args.ckpt_dir, cfg, A, B)
     else:
@@ -714,7 +797,13 @@ def main(argv=None) -> int:
         # fit()'s eval key (shared derivation): demo NMSE is comparable
         # to training evals.
         demo = make_batch(
-            seed_keys(cfg)[1], A, args.demo, p.sparsity_x, p.sparsity_e, B=B
+            seed_keys(cfg)[1],
+            A,
+            args.demo,
+            p.sparsity_x,
+            p.sparsity_e,
+            B=B,
+            nonneg_x=getattr(p, "nonneg_x", False),
         )
         requests = np.asarray(demo.b, np.float32)
     else:
@@ -744,6 +833,7 @@ def main(argv=None) -> int:
         dtype=dtype,
         layers=args.layers,
         B=B,
+        step_fn=step_fn,
     )
     build_s = time.monotonic() - t_build
 

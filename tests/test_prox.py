@@ -47,34 +47,61 @@ def _np_shrink(u, t):
 
 
 def test_prox_golden_numpy(rng):
-    u = rng.normal(size=(9, 17)).astype(np.float64)
-    t = np.abs(rng.normal(size=(17,))).astype(np.float64)
+    # Inputs are cast to float32 FIRST so both sides see identical
+    # values; the numpy golden then runs in float64 from those fp32
+    # inputs, and the tolerance is the fp32 rounding of the op itself
+    # (the test suite runs with x64 disabled — conftest.py).
+    u = rng.normal(size=(9, 17)).astype(np.float32)
+    t = np.abs(rng.normal(size=(17,))).astype(np.float32)
     uj, tj = jnp.asarray(u), jnp.asarray(t)
+    u64, t64 = u.astype(np.float64), t.astype(np.float64)
 
     np.testing.assert_allclose(
-        np.asarray(get_prox("l1")(uj, tj)), _np_shrink(u, t), rtol=1e-12
+        np.asarray(get_prox("l1")(uj, tj)),
+        _np_shrink(u64, t64),
+        rtol=1e-6,
+        atol=1e-7,
     )
     np.testing.assert_allclose(
         np.asarray(prox_nonneg_l1(uj, tj)),
-        np.maximum(u - t, 0.0),
-        rtol=1e-12,
+        np.maximum(u64 - t64, 0.0),
+        rtol=1e-6,
+        atol=1e-7,
     )
     np.testing.assert_allclose(
-        np.asarray(prox_box(uj, tj)), np.clip(u, -t, t), rtol=1e-12
+        np.asarray(prox_box(uj, tj)), np.clip(u64, -t64, t64), rtol=1e-6
     )
     rho = 0.37
     np.testing.assert_allclose(
         np.asarray(make_prox_elastic_net(rho)(uj, tj)),
-        _np_shrink(u, t) / (1.0 + rho),
-        rtol=1e-12,
+        _np_shrink(u64, t64) / (1.0 + rho),
+        rtol=1e-6,
+        atol=1e-7,
     )
     # group_l2: row-wise block soft-threshold with scalar theta.
     th = 0.8
-    norm = np.linalg.norm(u, axis=-1, keepdims=True)
-    expect = u * np.maximum(1.0 - th / norm, 0.0)
+    norm = np.linalg.norm(u64, axis=-1, keepdims=True)
+    expect = u64 * np.maximum(1.0 - th / norm, 0.0)
     np.testing.assert_allclose(
-        np.asarray(prox_group_l2(uj, th)), expect, rtol=1e-10
+        np.asarray(prox_group_l2(uj, th)), expect, rtol=1e-5, atol=1e-7
     )
+
+
+def test_prox_group_l2_zero_row_grad_finite():
+    """Regression (ADVICE r3): an exactly-zero input row must not yield
+    NaN gradients — sqrt's VJP at 0 needs the inside-the-norm guard."""
+    u = jnp.array([[0.0, 0.0, 0.0], [1.0, -2.0, 2.0]])
+    th = jnp.array(0.5)
+
+    def loss(v, t):
+        return jnp.sum(prox_group_l2(v, t) ** 2)
+
+    gu = jax.grad(loss)(u, th)
+    gt = jax.grad(loss, argnums=1)(u, th)
+    assert np.isfinite(np.asarray(gu)).all(), gu
+    assert np.isfinite(float(gt)), gt
+    # Nonzero row still gets real gradients (norm 3 > th → active).
+    assert float(jnp.abs(gu[1]).sum()) > 0.0
 
 
 def test_prox_negative_theta_clamped():

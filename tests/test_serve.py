@@ -127,6 +127,77 @@ def test_serve_general_B():
         InferenceServer(params, A, max_batch=16, B=B, kernel="megakernel")
 
 
+def test_serve_general_prox_matches_forward():
+    """InferenceServer(step_fn=...) serves general-prox solvers with the
+    TRAINED prox pair (ADVICE r3: serving silently ran the l1 shrink):
+    results match dladmm_forward with the same step_fn, differ from l1
+    serving, and respect the prox's constraint."""
+    import numpy as np
+
+    from dladmm_tpu.data.synthetic import make_batch, make_dictionary
+    from dladmm_tpu.models.unroll import dladmm_forward, init_dladmm_params
+    from dladmm_tpu.ops.prox import get_prox
+    from dladmm_tpu.ops.reference import make_cached_step
+    from dladmm_tpu.serve import InferenceServer
+
+    m, n, K = 14, 28, 5
+    key = jax.random.PRNGKey(3)
+    kA, kb = jax.random.split(key)
+    A = make_dictionary(kA, m, n)
+    params = init_dladmm_params(A, K=K)
+    b = make_batch(kb, A, 5, nonneg_x=True).b  # pads into the 8 bucket
+    step_fn = make_cached_step(get_prox("nonneg_l1"), get_prox("l1"))
+
+    server = InferenceServer(params, A, max_batch=16, step_fn=step_fn)
+    x, z = server.solve(b)
+    ex, ez, _ = dladmm_forward(params, A, b, step_fn=step_fn)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(ex), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(ez), rtol=1e-6)
+    assert np.asarray(x).min() >= 0.0  # the nonneg prox was applied
+    # ... and the l1 server would have returned something else.
+    l1x, _ = InferenceServer(params, A, max_batch=16).solve(b)
+    assert not np.allclose(np.asarray(l1x), np.asarray(x))
+
+    with pytest.raises(ValueError, match="l1/l1"):
+        InferenceServer(
+            params, A, max_batch=16, step_fn=step_fn, kernel="megakernel"
+        )
+    with pytest.raises(ValueError, match="l1/l1"):
+        InferenceServer(
+            params, A, max_batch=16, step_fn=step_fn, dtype="int8"
+        )
+
+
+def test_sharded_server_general_prox_matches_single_device():
+    from dladmm_tpu.data.synthetic import make_batch, make_dictionary
+    from dladmm_tpu.models.unroll import init_dladmm_params
+    from dladmm_tpu.ops.prox import get_prox
+    from dladmm_tpu.ops.reference import make_cached_step
+    from dladmm_tpu.parallel.mesh import make_mesh
+    from dladmm_tpu.serve import InferenceServer, ShardedInferenceServer
+
+    m, n, K = 14, 28, 4
+    key = jax.random.PRNGKey(4)
+    kA, kb = jax.random.split(key)
+    A = make_dictionary(kA, m, n)
+    params = init_dladmm_params(A, K=K)
+    b = make_batch(kb, A, 24, nonneg_x=True).b
+    step_fn = make_cached_step(get_prox("nonneg_l1"), get_prox("l1"))
+
+    sharded = ShardedInferenceServer(
+        params, A, make_mesh(), max_batch=32, step_fn=step_fn
+    )
+    single = InferenceServer(params, A, max_batch=32, step_fn=step_fn)
+    xs, zs = sharded.solve(b)
+    x1, z1 = single.solve(b)
+    np.testing.assert_allclose(
+        np.asarray(xs), np.asarray(x1), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(zs), np.asarray(z1), rtol=1e-5, atol=1e-6
+    )
+
+
 def test_int8_server_quality_and_exactness():
     """dtype='int8' serving: per-row weight scales + per-sample dynamic
     activation quantization (ops/quantized.py). Pins (a) the quantized
@@ -546,3 +617,47 @@ class TestServeCLI:
         assert out["nmse_db"] == pytest.approx(
             history[-1]["nmse_db"], abs=0.05
         )
+
+    def test_general_prox_checkpoint_serves_trained_prox(
+        self, tmp_path, capsys
+    ):
+        """ADVICE r3 (medium): a model trained under a non-l1 prox must
+        serve with that prox — the CLI's demo NMSE must match the final
+        training eval, and int8/megakernel must be rejected."""
+        import dataclasses
+        import json
+
+        from dladmm_tpu.serve import main
+        from dladmm_tpu.train.loop import fit
+        from dladmm_tpu.utils.config import PRESETS, get_config
+
+        cfg = get_config("synthetic_nonneg")
+        cfg = dataclasses.replace(
+            cfg,
+            train=dataclasses.replace(
+                cfg.train, steps=60, eval_every=60, eval_batch=128
+            ),
+        )
+        ckpt = tmp_path / "ckpt"
+        params, history = fit(cfg, ckpt_dir=str(ckpt))
+        PRESETS["_nonneg_serve_test"] = dataclasses.replace(
+            cfg, name="_nonneg_serve_test"
+        )
+        try:
+            base = ["--config=_nonneg_serve_test", "--ckpt-dir", str(ckpt)]
+            assert main(base + ["--demo", "128"]) == 0
+            out = json.loads(
+                capsys.readouterr().out.strip().splitlines()[-1]
+            )
+            # eval_batch == demo size and the same eval key: serving the
+            # trained prox reproduces the final training eval. (Serving
+            # the l1 shrink instead misses by many dB.)
+            assert out["nmse_db"] == pytest.approx(
+                history[-1]["nmse_db"], abs=0.05
+            )
+            with pytest.raises(SystemExit):
+                main(base + ["--demo", "16", "--dtype=int8"])
+            with pytest.raises(SystemExit):
+                main(base + ["--demo", "16", "--kernel=megakernel"])
+        finally:
+            del PRESETS["_nonneg_serve_test"]

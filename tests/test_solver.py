@@ -41,3 +41,23 @@ def test_solver_untrained_equals_ladmm():
     xl, zl, _ = ladmm_run(A, data.b, iters=6)
     np.testing.assert_allclose(np.asarray(x), np.asarray(xl), rtol=2e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(z), np.asarray(zl), rtol=2e-5, atol=1e-6)
+
+
+def test_solver_rejects_explicit_pallas_kernel_with_general_prox():
+    """ADVICE r3: an explicit Pallas kernel selection with a non-l1 prox
+    must raise (mirroring run.py) instead of silently running the
+    XLA-scan general step."""
+    import pytest
+
+    key = jax.random.PRNGKey(2)
+    kA, kd = jax.random.split(key)
+    A = make_dictionary(kA, 16, 32)
+    data = make_batch(kd, A, 8)
+    for kernel in ("pallas", "megakernel"):
+        solver = DLADMMSolver.create(A, K=4, kernel=kernel, prox_x="nonneg_l1")
+        with pytest.raises(ValueError, match="l1/l1-only"):
+            solver.solve(data.b)
+    # auto with a general prox still works (runs the XLA scan).
+    solver = DLADMMSolver.create(A, K=4, prox_x="nonneg_l1")
+    x, _ = solver.solve(data.b)
+    assert np.asarray(x).min() >= 0.0

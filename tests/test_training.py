@@ -371,6 +371,22 @@ def test_run_cli_rejects_bad_general_B_flags():
         run.main(["--config=synthetic_general_b", "--greedy"])
 
 
+def test_run_cli_elastic_net_requires_rho():
+    """ADVICE r3: elastic_net with the default rho=0 IS l1 (is_l1()),
+    so the prox flag would silently have no effect — run.py must
+    reject it and accept an explicit --prox-rho."""
+    from dladmm_tpu import run
+
+    with pytest.raises(SystemExit):
+        run.main(["--config=smoke", "--prox-x=elastic_net"])
+    # With rho > 0 the config routes to the general-prox path (the guard
+    # passes and training runs the XLA scan).
+    rc = run.main(
+        ["--config=smoke", "--prox-x=elastic_net", "--prox-rho=0.3"]
+    )
+    assert rc == 0
+
+
 def test_general_B_bf16_mixed_precision_trains():
     """General B composes with the persistent-bf16 mixed-precision path
     for both loss modes (final-layer and deep supervision) — the manual
