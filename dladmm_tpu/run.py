@@ -58,6 +58,14 @@ def main(argv=None) -> int:
         "clip_mode=delayed when clip_norm is set",
     )
     ap.add_argument(
+        "--moment-dtype",
+        choices=["float32", "bfloat16", "bfloat16_sr", "int8"],
+        default=None,
+        help="storage precision of the Adam moments (train/qmoments.py):"
+        " bfloat16/int8 shrink the bandwidth-bound optimizer sweep "
+        "(quality deltas measured in BASELINE.md)",
+    )
+    ap.add_argument(
         "--prox-x",
         choices=["l1", "nonneg_l1", "elastic_net", "box", "group_l2"],
         default=None,
@@ -177,6 +185,7 @@ def main(argv=None) -> int:
         "vjp",
         "clip_mode",
         "optimizer",
+        "moment_dtype",
         "accum_steps",
     ):
         v = getattr(args, f)

@@ -568,8 +568,16 @@ def _build_optimizer(t) -> optax.GradientTransformation:
     shared by fit and fit_sharded so sharded runs get the same
     stability treatment (clip_norm exists because long runs can go
     spectrally unstable — utils/config.py). clip_mode selects exact
-    ("global") vs one-step-delayed ("delayed") norm clipping."""
-    optimizer = optax.adam(_lr_of(t))
+    ("global") vs one-step-delayed ("delayed") norm clipping.
+    moment_dtype shrinks the STORED Adam moments (train/qmoments.py) —
+    update math stays fp32 either way."""
+    md = getattr(t, "moment_dtype", "float32")
+    if md == "float32":
+        optimizer = optax.adam(_lr_of(t))
+    else:
+        from dladmm_tpu.train.qmoments import adam_qmoments
+
+        optimizer = adam_qmoments(_lr_of(t), moment_dtype=md)
     clip = getattr(t, "clip_norm", None)
     if clip:
         mode = getattr(t, "clip_mode", "global")
@@ -682,6 +690,11 @@ def fit(
                 "optimizer='fused_adam' applies the update INSIDE the "
                 "backward of one batch — gradient accumulation does not "
                 "compose; use optimizer='adam' with accum_steps"
+            )
+        if getattr(t, "moment_dtype", "float32") != "float32":
+            raise ValueError(
+                "optimizer='fused_adam' owns its (fp32) moment buffers; "
+                "moment_dtype applies to optimizer='adam'"
             )
         if nonneg_x:
             raise ValueError(

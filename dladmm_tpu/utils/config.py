@@ -88,6 +88,15 @@ class TrainConfig:
     # (kernel="auto") and, if clip_norm is set, clip_mode="delayed"
     # (exact global clipping is two-pass and cannot fuse).
     optimizer: str = "adam"
+    # Storage precision of the Adam moments (train/qmoments.py):
+    # "float32" = plain optax.adam; "bfloat16" halves / "int8"
+    # (blockwise-companded) quarters the moment HBM traffic of the
+    # bandwidth-bound optimizer sweep (DESIGN.md §9 step decomposition);
+    # "bfloat16_sr" adds stochastic rounding to the bf16 moment writes
+    # (unbiased EMA — removes round-to-nearest truncation bias).
+    # Masters stay fp32 and update math runs fp32 either way. Quality
+    # deltas at the benchmark recipes are measured in BASELINE.md.
+    moment_dtype: str = "float32"
     # Gradient accumulation: the EFFECTIVE batch stays `batch`; each
     # update scans accum_steps microbatches of batch/accum_steps rows,
     # accumulating fp32 grads — effective batches beyond HBM become

@@ -1,0 +1,82 @@
+"""A/B the Adam moment storage precision on the real chip (round 4).
+
+DESIGN.md §9's step decomposition pins the flagship optimizer phase
+(~1.61 ms of the 6.9 ms step) on the ~1.3 GB fp32 master/moment HBM
+sweep; the moments are 2/3 of that state. train/qmoments.py stores them
+bf16 (2x less) or blockwise-companded int8 (4x less). This measures the
+flagship shipped train step (A 1000x2000, batch 1024, K=20, bf16 manual
+VJP) for moment_dtype in {float32, bfloat16, int8}, each with and
+without the quality recipe's global-norm clip.
+
+Prints one JSON line with calibrated step times. Quality is measured
+separately by running the full presets with --moment-dtype.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax.numpy as jnp
+import optax
+
+from dladmm_tpu.bench.timing import time_chained
+from dladmm_tpu.data.synthetic import make_batch, make_dictionary
+from dladmm_tpu.models.unroll import init_dladmm_params
+from dladmm_tpu.train.loop import (
+    make_train_state,
+    make_train_step_from_batch,
+)
+from dladmm_tpu.train.qmoments import adam_qmoments
+
+import jax
+
+
+def main():
+    smoke = bool(os.environ.get("DLADMM_BENCH_SMOKE"))
+    if os.environ.get("DLADMM_BENCH_PLATFORM"):
+        jax.config.update(
+            "jax_platforms", os.environ["DLADMM_BENCH_PLATFORM"]
+        )
+    m, n, K, S = (100, 200, 4, 32) if smoke else (1000, 2000, 20, 1024)
+    key = jax.random.PRNGKey(0)
+    kA, kb = jax.random.split(key)
+    A = make_dictionary(kA, m, n)
+    params = init_dladmm_params(A, K=K)
+    data = make_batch(kb, A, S)
+    bf = jnp.bfloat16
+
+    def base(md):
+        if md == "float32":
+            return optax.adam(1e-3)
+        return adam_qmoments(1e-3, moment_dtype=md)
+
+    out = {
+        "shape": f"A {m}x{n} b{S} K{K} bf16 manual-vjp"
+        + (" SMOKE (numbers meaningless)" if smoke else "")
+    }
+    for md in ("float32", "bfloat16", "bfloat16_sr", "int8"):
+        for clip in (None, 1.0):
+            opt = base(md)
+            if clip:
+                opt = optax.chain(optax.clip_by_global_norm(clip), opt)
+            step = make_train_step_from_batch(
+                opt, A, vjp="manual", compute_dtype=bf, donate=False
+            )
+
+            def one(state, _step=step):
+                new_state, _ = _step(state, data)
+                return new_state
+
+            t = time_chained(one, make_train_state(params, opt, bf))
+            name = f"{md}{'_clip' if clip else ''}"
+            out[f"step_ms_{name}"] = round(t * 1e3, 3)
+            print(f"  {name}: {t * 1e3:.3f} ms", flush=True)
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

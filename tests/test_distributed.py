@@ -808,3 +808,32 @@ def test_fit_sharded_zero1_end_to_end_matches_replicated():
     assert hist_z1[-1]["loss"] == pytest.approx(
         hist_rep[-1]["loss"], rel=1e-4
     )
+
+
+@pytest.mark.parametrize("md", ["bfloat16", "int8"])
+def test_dp_fast_path_qmoments_matches_single_device(md):
+    """moment_dtype composes with DP sharding: the reduced-precision
+    Adam transform (train/qmoments.py) is deterministic, so the DP step
+    (grads psum'd, optimizer replicated) matches single-device."""
+    from dladmm_tpu.train.qmoments import adam_qmoments
+
+    mesh = pmesh.make_mesh(data=8, model=1)
+    A, data, params = _setup()
+    optimizer = adam_qmoments(1e-3, moment_dtype=md)
+    loss_ref, grads_ref = jax.value_and_grad(loss_fn)(
+        params, A, data.b, data.x_star, data.e_star
+    )
+    upd_ref, _ = optimizer.update(grads_ref, optimizer.init(params), params)
+    params_ref = optax.apply_updates(params, upd_ref)
+
+    params_s, A_s, batch_s = _put(mesh, data, params, A, "sharded_w2")
+    state = TrainState(
+        params_s, optimizer.init(params_s), jnp.zeros((), jnp.int32)
+    )
+    step = make_dp_train_step(optimizer, mesh, donate=False)
+    state2, loss = step(state, A_s, batch_s)
+    np.testing.assert_allclose(float(loss), float(loss_ref), rtol=1e-5)
+    for got, want in zip(state2.params, params_ref):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=5e-5, atol=1e-6
+        )
