@@ -59,11 +59,21 @@ def main(argv=None) -> int:
     )
     ap.add_argument(
         "--moment-dtype",
-        choices=["float32", "bfloat16", "bfloat16_sr", "int8"],
+        choices=[
+            "float32",
+            "bfloat16",
+            "bfloat16_sr",
+            "int8",
+            "float32_pallas",
+            "bfloat16_pallas",
+            "int8_pallas",
+        ],
         default=None,
         help="storage precision of the Adam moments (train/qmoments.py):"
-        " bfloat16/int8 shrink the bandwidth-bound optimizer sweep "
-        "(quality deltas measured in BASELINE.md)",
+        " bfloat16/int8 shrink the bandwidth-bound optimizer sweep; the"
+        " *_pallas variants apply the WHOLE optimizer in a one-HBM-pass"
+        " fused kernel (train/qadam_pallas.py). Quality deltas measured"
+        " in BASELINE.md",
     )
     ap.add_argument(
         "--prox-x",

@@ -302,15 +302,27 @@ def make_train_step(
                     for name, g in zip(grads._fields, grads)
                 )
             )
-        updates, opt_state = optimizer.update(
-            grads, state.opt_state, state.params
-        )
-        params = optax.apply_updates(state.params, updates)
-        cp = (
-            None
-            if state.compute_params is None
-            else jax.tree.map(lambda v: v.astype(compute_dtype), params)
-        )
+        if hasattr(optimizer, "fused_apply"):
+            params, opt_state, cp = optimizer.fused_apply(
+                grads,
+                state.opt_state,
+                state.params,
+                compute_dtype
+                if state.compute_params is not None
+                else None,
+            )
+        else:
+            updates, opt_state = optimizer.update(
+                grads, state.opt_state, state.params
+            )
+            params = optax.apply_updates(state.params, updates)
+            cp = (
+                None
+                if state.compute_params is None
+                else jax.tree.map(
+                    lambda v: v.astype(compute_dtype), params
+                )
+            )
         return TrainState(params, opt_state, state.step + 1, cp), loss
 
     return train_step
@@ -417,15 +429,27 @@ def make_train_step_from_batch(
             (ls, gs), _ = jax.lax.scan(body, init, chunks)
             loss = ls / accum_steps
             grads = jax.tree.map(lambda v: v / accum_steps, gs)
-        updates, opt_state = optimizer.update(
-            grads, state.opt_state, state.params
-        )
-        params = optax.apply_updates(state.params, updates)
-        cp = (
-            None
-            if state.compute_params is None
-            else jax.tree.map(lambda v: v.astype(compute_dtype), params)
-        )
+        if hasattr(optimizer, "fused_apply"):
+            params, opt_state, cp = optimizer.fused_apply(
+                grads,
+                state.opt_state,
+                state.params,
+                compute_dtype
+                if state.compute_params is not None
+                else None,
+            )
+        else:
+            updates, opt_state = optimizer.update(
+                grads, state.opt_state, state.params
+            )
+            params = optax.apply_updates(state.params, updates)
+            cp = (
+                None
+                if state.compute_params is None
+                else jax.tree.map(
+                    lambda v: v.astype(compute_dtype), params
+                )
+            )
         return TrainState(params, opt_state, state.step + 1, cp), loss
 
     return jax.jit(_step, donate_argnums=(0,) if donate else ())
@@ -572,6 +596,23 @@ def _build_optimizer(t) -> optax.GradientTransformation:
     moment_dtype shrinks the STORED Adam moments (train/qmoments.py) —
     update math stays fp32 either way."""
     md = getattr(t, "moment_dtype", "float32")
+    if md.endswith("_pallas"):
+        # Fused one-HBM-pass Adam sweep kernel (train/qadam_pallas.py):
+        # owns its (exact, scalar-pass) global clip, so no optax clip
+        # transform is chained around it.
+        from dladmm_tpu.train.qadam_pallas import QAdamFusedPallas
+
+        if getattr(t, "clip_mode", "global") != "global":
+            raise ValueError(
+                "moment_dtype='*_pallas' implements exact global "
+                "clipping inside the fused sweep; clip_mode must be "
+                "'global'"
+            )
+        return QAdamFusedPallas(
+            _lr_of(t),
+            moment_fmt=md[: -len("_pallas")],
+            clip_norm=getattr(t, "clip_norm", None),
+        )
     if md == "float32":
         optimizer = optax.adam(_lr_of(t))
     else:

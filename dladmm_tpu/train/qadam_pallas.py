@@ -1,0 +1,410 @@
+"""One-HBM-pass fused Adam sweep (Pallas TPU kernel) with selectable
+moment storage precision.
+
+Why a kernel: DESIGN.md §9's step decomposition pins the flagship
+optimizer phase on the master/moment HBM sweep, and round 4 measured
+that blockwise-int8 moments through XLA cost +5 ms — the
+decode→EMA→absmax→requant chain does not fuse (XLA materializes the
+fp32 intermediates), inverting the traffic win. This kernel performs
+the ENTIRE optimizer application in one pass over each parameter leaf:
+
+    read   g (grad), master (fp32), mu, nu (stored precision)
+    compute clip-scaled Adam update in fp32 (op-identical to optax)
+    write  master', bf16 compute copy, mu', nu' (stored precision)
+
+so every byte of optimizer state is touched exactly once per step, with
+the (de)quantization arithmetic riding the VPU where the op is
+bandwidth-bound. Moment formats: float32 (plain fused sweep), bfloat16,
+and blockwise sqrt-companded int8 (train/qmoments.py's storage scheme,
+bit-compatible with its QTensor state so checkpoints interchange).
+
+The reference has no counterpart (torch.optim.Adam on one GPU —
+SURVEY.md §3.1); this is TPU-native scope per the north star's
+performance mandate. Integration: train.loop._build_optimizer returns a
+QAdamFusedPallas for moment_dtype="*_pallas"; step builders call
+.fused_apply when present, generic callers (greedy, ZeRO-1) use the
+optax-compatible .update reference path (same math, XLA-fused).
+
+Kernels run in interpret mode off-TPU (package convention); Mosaic
+compilation is gated on real hardware by scripts/verify_tpu.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax import Array
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dladmm_tpu.train.qmoments import (
+    BLOCK,
+    QMomentsState,
+    QTensor,
+    dequantize_q8,
+    quantize_q8,
+)
+
+# Rows (quant blocks) per grid step: 512*256 elements = 0.5 MB fp32 per
+# operand — ~3 MB resident per grid step across the 8 refs, well inside
+# VMEM with double buffering. Multiple of the int8 sublane tile (32).
+CHUNK_ROWS = 512
+# Leaves smaller than this (or not BLOCK-divisible) take the jnp path —
+# thresholds/beta stacks are KB-sized; the kernel exists for the 40M/20M
+# element weight stacks.
+MIN_PALLAS_ELEMS = 1 << 16
+
+
+def _in8_decode(codes, scale):
+    c = codes.astype(jnp.float32) * (1.0 / 127.0)
+    return jnp.sign(c) * c * c * scale
+
+
+def _in8_encode(x):
+    absmax = jnp.max(jnp.abs(x), axis=1, keepdims=True)
+    scale = jnp.where(absmax > 0.0, absmax, 1.0)
+    y = x / scale
+    c = jnp.sign(y) * jnp.sqrt(jnp.abs(y))
+    return jnp.round(c * 127.0).astype(jnp.int8), scale
+
+
+def _adam_core(g, mu, nu, scal, b1, b2, eps):
+    """Shared fp32 update math. scal = [c1, c2, lr, clip_scale]."""
+    g = g.astype(jnp.float32) * scal[0, 3]
+    mu = b1 * mu + (1.0 - b1) * g
+    nu = b2 * nu + (1.0 - b2) * g * g
+    upd = (mu / scal[0, 0]) / (jnp.sqrt(nu / scal[0, 1]) + eps)
+    return mu, nu, upd
+
+
+def _make_kernel_int8(b1, b2, eps, emit_copy, copy_dtype):
+    def kernel(
+        scal_ref,
+        g_ref,
+        master_ref,
+        mu_c_ref,
+        mu_s_ref,
+        nu_c_ref,
+        nu_s_ref,
+        master_o,
+        mu_c_o,
+        mu_s_o,
+        nu_c_o,
+        nu_s_o,
+        *rest,
+    ):
+        scal = scal_ref[:]
+        mu = _in8_decode(mu_c_ref[:], mu_s_ref[:])
+        nu = _in8_decode(nu_c_ref[:], nu_s_ref[:])
+        mu, nu, upd = _adam_core(g_ref[:], mu, nu, scal, b1, b2, eps)
+        new_master = master_ref[:] - scal[0, 2] * upd
+        master_o[:] = new_master
+        if emit_copy:
+            rest[0][:] = new_master.astype(copy_dtype)
+        mu_c_o[:], mu_s_o[:] = _in8_encode(mu)
+        nu_c_o[:], nu_s_o[:] = _in8_encode(nu)
+
+    return kernel
+
+
+def _make_kernel_dense(b1, b2, eps, emit_copy, copy_dtype, mom_dtype):
+    def kernel(
+        scal_ref, g_ref, master_ref, mu_ref, nu_ref, master_o, mu_o, nu_o,
+        *rest,
+    ):
+        scal = scal_ref[:]
+        mu = mu_ref[:].astype(jnp.float32)
+        nu = nu_ref[:].astype(jnp.float32)
+        mu, nu, upd = _adam_core(g_ref[:], mu, nu, scal, b1, b2, eps)
+        new_master = master_ref[:] - scal[0, 2] * upd
+        master_o[:] = new_master
+        if emit_copy:
+            rest[0][:] = new_master.astype(copy_dtype)
+        mu_o[:] = mu.astype(mom_dtype)
+        nu_o[:] = nu.astype(mom_dtype)
+
+    return kernel
+
+
+def _rows_spec(i):
+    return (i, 0)
+
+
+def _leaf_apply_pallas(
+    g,
+    master,
+    mu,
+    nu,
+    scal,
+    *,
+    fmt,
+    b1,
+    b2,
+    eps,
+    copy_dtype,
+    interpret,
+):
+    """Fused apply for one BLOCK-divisible leaf. Returns
+    (master', copy'|None, mu', nu') with mu/nu in the stored format."""
+    size = master.size
+    nb = size // BLOCK
+    g2 = g.reshape(nb, BLOCK)
+    m2 = master.reshape(nb, BLOCK)
+    grid = (pl.cdiv(nb, CHUNK_ROWS),)
+    row = pl.BlockSpec((CHUNK_ROWS, BLOCK), _rows_spec, memory_space=pltpu.VMEM)
+    srow = pl.BlockSpec((CHUNK_ROWS, 1), _rows_spec, memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    emit_copy = copy_dtype is not None
+    copy_shape = (
+        [jax.ShapeDtypeStruct((nb, BLOCK), copy_dtype)] if emit_copy else []
+    )
+    if fmt == "int8":
+        kern = _make_kernel_int8(b1, b2, eps, emit_copy, copy_dtype)
+        outs = pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=[smem, row, row, row, srow, row, srow],
+            out_specs=[row, row, srow, row, srow] + [row] * emit_copy,
+            out_shape=[
+                jax.ShapeDtypeStruct((nb, BLOCK), jnp.float32),
+                jax.ShapeDtypeStruct((nb, BLOCK), jnp.int8),
+                jax.ShapeDtypeStruct((nb, 1), jnp.float32),
+                jax.ShapeDtypeStruct((nb, BLOCK), jnp.int8),
+                jax.ShapeDtypeStruct((nb, 1), jnp.float32),
+            ]
+            + copy_shape,
+            interpret=interpret,
+        )(scal, g2, m2, mu.codes, mu.scale, nu.codes, nu.scale)
+        new_master, mu_c, mu_s, nu_c, nu_s = outs[:5]
+        copy = outs[5] if emit_copy else None
+        mu_n, nu_n = QTensor(mu_c, mu_s), QTensor(nu_c, nu_s)
+    else:
+        mom_dtype = jnp.bfloat16 if fmt == "bfloat16" else jnp.float32
+        kern = _make_kernel_dense(
+            b1, b2, eps, emit_copy, copy_dtype, mom_dtype
+        )
+        outs = pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=[smem, row, row, row, row],
+            out_specs=[row, row, row] + [row] * emit_copy,
+            out_shape=[
+                jax.ShapeDtypeStruct((nb, BLOCK), jnp.float32),
+                jax.ShapeDtypeStruct((nb, BLOCK), mom_dtype),
+                jax.ShapeDtypeStruct((nb, BLOCK), mom_dtype),
+            ]
+            + copy_shape,
+            interpret=interpret,
+        )(scal, g2, m2, mu.reshape(nb, BLOCK), nu.reshape(nb, BLOCK))
+        new_master, mu2, nu2 = outs[:3]
+        copy = outs[3] if emit_copy else None
+        mu_n = mu2.reshape(master.shape)
+        nu_n = nu2.reshape(master.shape)
+    shape = master.shape
+    return (
+        new_master.reshape(shape),
+        None if copy is None else copy.reshape(shape),
+        mu_n,
+        nu_n,
+    )
+
+
+def _leaf_apply_jnp(g, master, mu, nu, scal, *, fmt, b1, b2, eps, copy_dtype):
+    """Reference path for small / non-divisible leaves: identical math,
+    XLA-fused (these leaves are KB-sized, traffic is irrelevant)."""
+    if fmt == "int8":
+        mu_f = dequantize_q8(mu, master.shape)
+        nu_f = dequantize_q8(nu, master.shape)
+    else:
+        mu_f, nu_f = mu.astype(jnp.float32), nu.astype(jnp.float32)
+    mu_f, nu_f, upd = _adam_core(g, mu_f, nu_f, scal, b1, b2, eps)
+    new_master = master - scal[0, 2] * upd
+    copy = None if copy_dtype is None else new_master.astype(copy_dtype)
+    if fmt == "int8":
+        mu_n, nu_n = quantize_q8(mu_f), quantize_q8(nu_f)
+    else:
+        dt = jnp.bfloat16 if fmt == "bfloat16" else jnp.float32
+        mu_n, nu_n = mu_f.astype(dt), nu_f.astype(dt)
+    return new_master, copy, mu_n, nu_n
+
+
+@dataclasses.dataclass(frozen=True)
+class QAdamFusedPallas:
+    """Fused-sweep Adam with moment_fmt in {float32, bfloat16, int8}.
+
+    Duck-types the optax surface (init/update) for generic callers;
+    step builders use .fused_apply(grads, state, params, compute_dtype)
+    for the one-pass kernel that also writes the master update and the
+    bf16 compute copy. Exact global-norm clipping is applied via a
+    scalar clip-scale computed from the grads (one cheap reduction
+    pass); the sweep itself stays single-pass.
+    """
+
+    learning_rate: Any  # float or optax schedule
+    b1: float = 0.9
+    b2: float = 0.999
+    eps: float = 1e-8
+    moment_fmt: str = "float32"
+    clip_norm: Optional[float] = None
+    interpret: Optional[bool] = None
+
+    def __post_init__(self):
+        if self.moment_fmt not in ("float32", "bfloat16", "int8"):
+            raise ValueError(
+                f"moment_fmt must be float32|bfloat16|int8, "
+                f"got {self.moment_fmt!r}"
+            )
+
+    # -- optax-compatible surface ---------------------------------------
+
+    def init(self, params):
+        def enc():
+            # Fresh arrays per call: mu and nu must NOT alias the same
+            # buffers (donating jits would donate one buffer twice).
+            zeros = jax.tree.map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), params
+            )
+            if self.moment_fmt == "int8":
+                return jax.tree.map(quantize_q8, zeros)
+            if self.moment_fmt == "bfloat16":
+                return jax.tree.map(
+                    lambda v: v.astype(jnp.bfloat16), zeros
+                )
+            return zeros
+
+        return QMomentsState(
+            count=jnp.zeros((), jnp.int32), mu=enc(), nu=enc(), key=None
+        )
+
+    def _lr(self, count):
+        if callable(self.learning_rate):
+            return self.learning_rate(count).astype(jnp.float32)
+        return jnp.asarray(self.learning_rate, jnp.float32)
+
+    def _scalars(self, grads, state):
+        """[c1, c2, lr, clip_scale] as a (1, 4) fp32 array."""
+        count = state.count + 1
+        cf = count.astype(jnp.float32)
+        c1 = 1.0 - self.b1 ** cf
+        c2 = 1.0 - self.b2 ** cf
+        lr = self._lr(state.count)
+        if self.clip_norm is not None:
+            norm = optax.global_norm(grads).astype(jnp.float32)
+            scale = jnp.minimum(
+                1.0, self.clip_norm / jnp.maximum(norm, 1e-16)
+            )
+        else:
+            scale = jnp.float32(1.0)
+        return jnp.stack([c1, c2, lr, scale]).reshape(1, 4), count
+
+    def update(self, grads, state, params=None):
+        """optax semantics: returns (updates, new_state); updates are
+        the NEGATED scaled step (apply with optax.apply_updates)."""
+        del params
+        scal, count = self._scalars(grads, state)
+
+        # Reference math without the master fold (generic callers own
+        # apply_updates): decode, EMA, bias-correct, re-encode.
+        def leaf(g, mu, nu):
+            if self.moment_fmt == "int8":
+                mu_f = dequantize_q8(mu, g.shape)
+                nu_f = dequantize_q8(nu, g.shape)
+            else:
+                mu_f, nu_f = (
+                    mu.astype(jnp.float32),
+                    nu.astype(jnp.float32),
+                )
+            mu_f, nu_f, upd = _adam_core(
+                g, mu_f, nu_f, scal, self.b1, self.b2, self.eps
+            )
+            if self.moment_fmt == "int8":
+                mu_n, nu_n = quantize_q8(mu_f), quantize_q8(nu_f)
+            else:
+                dt = (
+                    jnp.bfloat16
+                    if self.moment_fmt == "bfloat16"
+                    else jnp.float32
+                )
+                mu_n, nu_n = mu_f.astype(dt), nu_f.astype(dt)
+            return (-scal[0, 2] * upd).astype(g.dtype), mu_n, nu_n
+
+        flat_g, treedef = jax.tree.flatten(grads)
+        flat_mu = treedef.flatten_up_to(state.mu)
+        flat_nu = treedef.flatten_up_to(state.nu)
+        res = [leaf(g, mu, nu) for g, mu, nu in zip(flat_g, flat_mu, flat_nu)]
+        updates = treedef.unflatten([r[0] for r in res])
+        mu_n = treedef.unflatten([r[1] for r in res])
+        nu_n = treedef.unflatten([r[2] for r in res])
+        return updates, QMomentsState(
+            count=count, mu=mu_n, nu=nu_n, key=None
+        )
+
+    # -- fused path ------------------------------------------------------
+
+    def fused_apply(self, grads, state, params, compute_dtype=None):
+        """One-pass kernel apply: returns (params', state',
+        compute_params'|None). params must be the fp32 masters."""
+        interpret = self.interpret
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        scal, count = self._scalars(grads, state)
+
+        def leaf(g, master, mu, nu):
+            if (
+                master.size % BLOCK == 0
+                and master.size >= MIN_PALLAS_ELEMS
+            ):
+                return _leaf_apply_pallas(
+                    g,
+                    master,
+                    mu,
+                    nu,
+                    scal,
+                    fmt=self.moment_fmt,
+                    b1=self.b1,
+                    b2=self.b2,
+                    eps=self.eps,
+                    copy_dtype=compute_dtype,
+                    interpret=interpret,
+                )
+            return _leaf_apply_jnp(
+                g,
+                master,
+                mu,
+                nu,
+                scal,
+                fmt=self.moment_fmt,
+                b1=self.b1,
+                b2=self.b2,
+                eps=self.eps,
+                copy_dtype=compute_dtype,
+            )
+
+        flat_g, treedef = jax.tree.flatten(grads)
+        flat_p = treedef.flatten_up_to(params)
+        flat_mu = treedef.flatten_up_to(state.mu)
+        flat_nu = treedef.flatten_up_to(state.nu)
+        res = [
+            leaf(g, p, mu, nu)
+            for g, p, mu, nu in zip(flat_g, flat_p, flat_mu, flat_nu)
+        ]
+        new_params = treedef.unflatten([r[0] for r in res])
+        new_state = QMomentsState(
+            count=count,
+            mu=treedef.unflatten([r[2] for r in res]),
+            nu=treedef.unflatten([r[3] for r in res]),
+            key=None,
+        )
+        cp = (
+            treedef.unflatten([r[1] for r in res])
+            if compute_dtype is not None
+            else None
+        )
+        return new_params, new_state, cp
+
+
+__all__ = ["QAdamFusedPallas", "CHUNK_ROWS", "MIN_PALLAS_ELEMS"]

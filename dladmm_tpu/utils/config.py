@@ -94,6 +94,10 @@ class TrainConfig:
     # bandwidth-bound optimizer sweep (DESIGN.md §9 step decomposition);
     # "bfloat16_sr" adds stochastic rounding to the bf16 moment writes
     # (unbiased EMA — removes round-to-nearest truncation bias).
+    # "float32_pallas" / "bfloat16_pallas" / "int8_pallas" apply the
+    # whole optimizer (clip-scale, Adam, master update, bf16 copy) in a
+    # one-HBM-pass fused Pallas kernel (train/qadam_pallas.py) — the
+    # int8 storage needs this: the XLA requant chain doesn't fuse.
     # Masters stay fp32 and update math runs fp32 either way. Quality
     # deltas at the benchmark recipes are measured in BASELINE.md.
     moment_dtype: str = "float32"

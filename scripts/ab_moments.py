@@ -49,20 +49,37 @@ def main():
     data = make_batch(kb, A, S)
     bf = jnp.bfloat16
 
-    def base(md):
+    from dladmm_tpu.train.qadam_pallas import QAdamFusedPallas
+
+    def base(md, clip):
+        if md.endswith("_pallas"):
+            return QAdamFusedPallas(
+                1e-3, moment_fmt=md[: -len("_pallas")], clip_norm=clip
+            )
         if md == "float32":
-            return optax.adam(1e-3)
-        return adam_qmoments(1e-3, moment_dtype=md)
+            opt = optax.adam(1e-3)
+        else:
+            opt = adam_qmoments(1e-3, moment_dtype=md)
+        if clip:
+            opt = optax.chain(optax.clip_by_global_norm(clip), opt)
+        return opt
 
     out = {
         "shape": f"A {m}x{n} b{S} K{K} bf16 manual-vjp"
         + (" SMOKE (numbers meaningless)" if smoke else "")
     }
-    for md in ("float32", "bfloat16", "bfloat16_sr", "int8"):
+    arms = (
+        "float32",
+        "bfloat16",
+        "bfloat16_sr",
+        "int8",
+        "float32_pallas",
+        "bfloat16_pallas",
+        "int8_pallas",
+    )
+    for md in arms:
         for clip in (None, 1.0):
-            opt = base(md)
-            if clip:
-                opt = optax.chain(optax.clip_by_global_norm(clip), opt)
+            opt = base(md, clip)
             step = make_train_step_from_batch(
                 opt, A, vjp="manual", compute_dtype=bf, donate=False
             )

@@ -215,6 +215,42 @@ def main() -> int:
         )(qp, qd, b8)
         ok &= check(f"int8 tiled megakernel (bs={bs8}) x", t8x, r8x, 1e-5)
 
+    # Fused Adam sweep kernel (round 4, train/qadam_pallas.py): the
+    # one-HBM-pass optimizer apply with fp32/bf16/int8 moment storage.
+    # Interpret-mode tests pin the math; this gates Mosaic compilation
+    # (int8 relayouts, (CB,1) scale strips, SMEM scalars) on hardware.
+    print("[qadam]")
+    from dladmm_tpu.train.qadam_pallas import QAdamFusedPallas
+
+    key_q = jax.random.PRNGKey(5)
+    qparams = {
+        "w": jax.random.normal(key_q, (1024, 256), jnp.float32),
+        "t": jax.random.normal(key_q, (37,), jnp.float32),
+    }
+    qgrads = jax.tree.map(
+        lambda v: 0.1 * jnp.sin(v * 3.0), qparams
+    )
+    for fmt in ("float32", "bfloat16", "int8"):
+        opt = QAdamFusedPallas(
+            1e-3, moment_fmt=fmt, clip_norm=1.0, interpret=False
+        )
+        st = opt.init(qparams)
+        upd, st_ref = opt.update(qgrads, st, qparams)
+        import optax as _optax
+
+        p_ref = _optax.apply_updates(qparams, upd)
+        p_f, st_f, cp = jax.jit(
+            lambda g, s, p: opt.fused_apply(g, s, p, jnp.bfloat16)
+        )(qgrads, st, qparams)
+        ok &= check(f"qadam[{fmt}] master w", p_f["w"], p_ref["w"], 1e-5)
+        ok &= check(f"qadam[{fmt}] master t", p_f["t"], p_ref["t"], 1e-5)
+        ok &= check(
+            f"qadam[{fmt}] bf16 copy",
+            cp["w"].astype(jnp.float32),
+            p_ref["w"].astype(jnp.bfloat16).astype(jnp.float32),
+            1e-6,
+        )
+
     print("PASS" if ok else "FAIL")
     return 0 if ok else 1
 

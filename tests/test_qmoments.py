@@ -176,3 +176,116 @@ def test_fused_adam_rejects_moment_dtype():
 def test_bad_moment_dtype_rejected():
     with pytest.raises(ValueError, match="moment_dtype"):
         scale_by_adam_qmoments(moment_dtype="fp8")
+
+
+# ---- fused one-pass Pallas sweep (train/qadam_pallas.py) -------------
+
+
+@pytest.mark.parametrize("fmt", ["float32", "bfloat16", "int8"])
+def test_fused_apply_matches_reference_update(fmt):
+    """fused_apply (Pallas kernel, interpret mode on CPU) must agree
+    with the .update reference path — identical math, different
+    execution — including the bf16 compute-copy output."""
+    from dladmm_tpu.train.qadam_pallas import QAdamFusedPallas
+
+    rng = np.random.default_rng(3)
+    # One big BLOCK-divisible leaf (kernel path) + one small odd leaf
+    # (jnp fallback path).
+    params = {
+        "w": jnp.asarray(rng.normal(size=(512, 256)), jnp.float32),
+        "t": jnp.asarray(rng.normal(size=(37,)), jnp.float32),
+    }
+    grads = jax.tree.map(
+        lambda v: jnp.asarray(
+            rng.normal(size=v.shape), jnp.float32
+        ) * 0.1,
+        params,
+    )
+    opt = QAdamFusedPallas(1e-3, moment_fmt=fmt, clip_norm=1.0)
+    st = opt.init(params)
+
+    upd, st_ref = opt.update(grads, st, params)
+    p_ref = optax.apply_updates(params, upd)
+
+    p_fused, st_fused, cp = opt.fused_apply(
+        grads, st, params, jnp.bfloat16
+    )
+    for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_fused)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-6, atol=2e-7
+        )
+    assert int(st_fused.count) == int(st_ref.count) == 1
+    # Moment states agree across the two paths.
+    for a, b in zip(
+        jax.tree.leaves(st_ref.mu), jax.tree.leaves(st_fused.mu)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a).astype(np.float32),
+            np.asarray(b).astype(np.float32),
+            rtol=1e-5,
+            atol=1e-6,
+        )
+    # Compute copy = cast of the new masters.
+    for p, c in zip(jax.tree.leaves(p_fused), jax.tree.leaves(cp)):
+        assert c.dtype == jnp.bfloat16
+        np.testing.assert_array_equal(
+            np.asarray(c), np.asarray(p.astype(jnp.bfloat16))
+        )
+
+
+def test_fused_fp32_matches_optax_chain_exactly():
+    """moment_fmt=float32 with clip == optax.chain(clip_by_global_norm,
+    adam) to fp32 tolerance over several steps."""
+    from dladmm_tpu.train.qadam_pallas import QAdamFusedPallas
+
+    rng = np.random.default_rng(4)
+    params = {"w": jnp.asarray(rng.normal(size=(256, 256)), jnp.float32)}
+    ref_opt = optax.chain(
+        optax.clip_by_global_norm(0.5), optax.adam(2e-3)
+    )
+    ref_st = ref_opt.init(params)
+    opt = QAdamFusedPallas(2e-3, moment_fmt="float32", clip_norm=0.5)
+    st = opt.init(params)
+    p_ref = p = params
+    for step in range(4):
+        g = jax.tree.map(
+            lambda v: jnp.sin(v * (step + 1)) * 3.0, p_ref
+        )  # norm >> 0.5: the clip is ACTIVE
+        u, ref_st = ref_opt.update(g, ref_st, p_ref)
+        p_ref = optax.apply_updates(p_ref, u)
+        p, st, _ = opt.fused_apply(g, st, p, None)
+        np.testing.assert_allclose(
+            np.asarray(p["w"]), np.asarray(p_ref["w"]), rtol=1e-5,
+            atol=1e-7,
+        )
+
+
+def test_fit_with_int8_pallas_moments_trains():
+    from dladmm_tpu.train.loop import fit
+    from dladmm_tpu.utils.config import get_config
+
+    cfg = get_config("smoke")
+    cfg = dataclasses.replace(
+        cfg,
+        train=dataclasses.replace(
+            cfg.train, moment_dtype="int8_pallas", steps=120
+        ),
+    )
+    params, history = fit(cfg)
+    final = history[-1]
+    assert final["nmse_db"] < float(final["curves"]["ladmm_curve_db"][-1])
+
+
+def test_pallas_moment_dtype_rejects_delayed_clip():
+    from dladmm_tpu.train.loop import _build_optimizer
+    from dladmm_tpu.utils.config import get_config
+
+    cfg = get_config("smoke")
+    t = dataclasses.replace(
+        cfg.train,
+        moment_dtype="float32_pallas",
+        clip_norm=1.0,
+        clip_mode="delayed",
+    )
+    with pytest.raises(ValueError, match="clip_mode"):
+        _build_optimizer(t)
