@@ -72,12 +72,13 @@ def _in8_encode(x):
     return jnp.round(c * 127.0).astype(jnp.int8), scale
 
 
-def _adam_core(g, mu, nu, scal, b1, b2, eps):
-    """Shared fp32 update math. scal = [c1, c2, lr, clip_scale]."""
-    g = g.astype(jnp.float32) * scal[0, 3]
+def _adam_core(g, mu, nu, c1, c2, clip_scale, b1, b2, eps):
+    """Shared fp32 update math (c1/c2 = bias corrections, clip_scale =
+    global-norm clip factor — all traced scalars)."""
+    g = g.astype(jnp.float32) * clip_scale
     mu = b1 * mu + (1.0 - b1) * g
     nu = b2 * nu + (1.0 - b2) * g * g
-    upd = (mu / scal[0, 0]) / (jnp.sqrt(nu / scal[0, 1]) + eps)
+    upd = (mu / c1) / (jnp.sqrt(nu / c2) + eps)
     return mu, nu, upd
 
 
@@ -97,11 +98,15 @@ def _make_kernel_int8(b1, b2, eps, emit_copy, copy_dtype):
         nu_s_o,
         *rest,
     ):
-        scal = scal_ref[:]
+        # SMEM permits scalar loads only (Mosaic) — no vector reads.
+        c1, c2 = scal_ref[0, 0], scal_ref[0, 1]
+        lr, cs = scal_ref[0, 2], scal_ref[0, 3]
         mu = _in8_decode(mu_c_ref[:], mu_s_ref[:])
         nu = _in8_decode(nu_c_ref[:], nu_s_ref[:])
-        mu, nu, upd = _adam_core(g_ref[:], mu, nu, scal, b1, b2, eps)
-        new_master = master_ref[:] - scal[0, 2] * upd
+        mu, nu, upd = _adam_core(
+            g_ref[:], mu, nu, c1, c2, cs, b1, b2, eps
+        )
+        new_master = master_ref[:] - lr * upd
         master_o[:] = new_master
         if emit_copy:
             rest[0][:] = new_master.astype(copy_dtype)
@@ -116,11 +121,14 @@ def _make_kernel_dense(b1, b2, eps, emit_copy, copy_dtype, mom_dtype):
         scal_ref, g_ref, master_ref, mu_ref, nu_ref, master_o, mu_o, nu_o,
         *rest,
     ):
-        scal = scal_ref[:]
+        c1, c2 = scal_ref[0, 0], scal_ref[0, 1]
+        lr, cs = scal_ref[0, 2], scal_ref[0, 3]
         mu = mu_ref[:].astype(jnp.float32)
         nu = nu_ref[:].astype(jnp.float32)
-        mu, nu, upd = _adam_core(g_ref[:], mu, nu, scal, b1, b2, eps)
-        new_master = master_ref[:] - scal[0, 2] * upd
+        mu, nu, upd = _adam_core(
+            g_ref[:], mu, nu, c1, c2, cs, b1, b2, eps
+        )
+        new_master = master_ref[:] - lr * upd
         master_o[:] = new_master
         if emit_copy:
             rest[0][:] = new_master.astype(copy_dtype)
@@ -221,7 +229,9 @@ def _leaf_apply_jnp(g, master, mu, nu, scal, *, fmt, b1, b2, eps, copy_dtype):
         nu_f = dequantize_q8(nu, master.shape)
     else:
         mu_f, nu_f = mu.astype(jnp.float32), nu.astype(jnp.float32)
-    mu_f, nu_f, upd = _adam_core(g, mu_f, nu_f, scal, b1, b2, eps)
+    mu_f, nu_f, upd = _adam_core(
+        g, mu_f, nu_f, scal[0, 0], scal[0, 1], scal[0, 3], b1, b2, eps
+    )
     new_master = master - scal[0, 2] * upd
     copy = None if copy_dtype is None else new_master.astype(copy_dtype)
     if fmt == "int8":
@@ -319,7 +329,15 @@ class QAdamFusedPallas:
                     nu.astype(jnp.float32),
                 )
             mu_f, nu_f, upd = _adam_core(
-                g, mu_f, nu_f, scal, self.b1, self.b2, self.eps
+                g,
+                mu_f,
+                nu_f,
+                scal[0, 0],
+                scal[0, 1],
+                scal[0, 3],
+                self.b1,
+                self.b2,
+                self.eps,
             )
             if self.moment_fmt == "int8":
                 mu_n, nu_n = quantize_q8(mu_f), quantize_q8(nu_f)
