@@ -366,6 +366,26 @@ def main() -> int:
         )
         detail["fused_adam_step_ms"] = round(t_f * 1e3, 3)
 
+    def phase_qadam_int8():
+        # Round-4 fused one-HBM-pass optimizer sweep with blockwise-int8
+        # moments (train/qadam_pallas.py) — headline-comparable arm
+        # (final-layer loss, no clip). Full A/B: scripts/ab_moments.py.
+        from dladmm_tpu.train.qadam_pallas import QAdamFusedPallas
+
+        qopt = QAdamFusedPallas(1e-3, moment_fmt="int8")
+        qshipped = make_train_step_from_batch(
+            qopt, A, vjp="manual", compute_dtype=bf, donate=False
+        )
+
+        def q_step(state):
+            new_state, _ = qshipped(state, data)
+            return new_state
+
+        t_q = _chained_train_time(
+            q_step, make_train_state(params, qopt, bf)
+        )
+        detail["qadam_int8_step_ms"] = round(t_q * 1e3, 3)
+
     def phase_paper_config():
         # The paper's own config (A 250x500, batch 64, K=15) through the
         # full-Pallas training step (fwd+bwd megakernels).
@@ -433,6 +453,7 @@ def main() -> int:
 
     run_phase("deep_supervised", phase_deep_supervised)
     run_phase("fused_adam", phase_fused_adam)
+    run_phase("qadam_int8", phase_qadam_int8)
     run_phase("paper_config", phase_paper_config)
 
     if skipped:

@@ -41,6 +41,13 @@ def main():
         jax.config.update(
             "jax_platforms", os.environ["DLADMM_BENCH_PLATFORM"]
         )
+    try:  # shared with bench.py: reruns skip the arm compiles
+        jax.config.update(
+            "jax_compilation_cache_dir", "/tmp/dladmm_jax_bench_cache"
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     m, n, K, S = (100, 200, 4, 32) if smoke else (1000, 2000, 20, 1024)
     key = jax.random.PRNGKey(0)
     kA, kb = jax.random.split(key)
