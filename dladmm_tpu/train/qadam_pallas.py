@@ -155,6 +155,7 @@ def _leaf_apply_pallas(
     eps,
     copy_dtype,
     interpret,
+    chunk_rows=None,
 ):
     """Fused apply for one BLOCK-divisible leaf. Returns
     (master', copy'|None, mu', nu') with mu/nu in the stored format."""
@@ -162,9 +163,10 @@ def _leaf_apply_pallas(
     nb = size // BLOCK
     g2 = g.reshape(nb, BLOCK)
     m2 = master.reshape(nb, BLOCK)
-    grid = (pl.cdiv(nb, CHUNK_ROWS),)
-    row = pl.BlockSpec((CHUNK_ROWS, BLOCK), _rows_spec, memory_space=pltpu.VMEM)
-    srow = pl.BlockSpec((CHUNK_ROWS, 1), _rows_spec, memory_space=pltpu.VMEM)
+    cr = chunk_rows or CHUNK_ROWS
+    grid = (pl.cdiv(nb, cr),)
+    row = pl.BlockSpec((cr, BLOCK), _rows_spec, memory_space=pltpu.VMEM)
+    srow = pl.BlockSpec((cr, 1), _rows_spec, memory_space=pltpu.VMEM)
     smem = pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM)
     emit_copy = copy_dtype is not None
     copy_shape = (
@@ -261,6 +263,7 @@ class QAdamFusedPallas:
     moment_fmt: str = "float32"
     clip_norm: Optional[float] = None
     interpret: Optional[bool] = None
+    chunk_rows: Optional[int] = None  # grid chunk (rows of 256); tuning knob
 
     def __post_init__(self):
         if self.moment_fmt not in ("float32", "bfloat16", "int8"):
@@ -388,6 +391,7 @@ class QAdamFusedPallas:
                     eps=self.eps,
                     copy_dtype=compute_dtype,
                     interpret=interpret,
+                    chunk_rows=self.chunk_rows,
                 )
             return _leaf_apply_jnp(
                 g,
