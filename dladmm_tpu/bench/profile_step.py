@@ -73,6 +73,13 @@ def capture(steps: int = 12, which: str = "shipped"):
         with profiling.trace(tmpdir):
             float(run(state0))
         return tmpdir, steps
+    if which == "qadam_int8":
+        # Round-4 fused one-pass optimizer sweep with int8 moments
+        # (train/qadam_pallas.py) — where does the residual vs the
+        # bf16-XLA arm go?
+        from dladmm_tpu.train.qadam_pallas import QAdamFusedPallas
+
+        opt = QAdamFusedPallas(1e-3, moment_fmt="int8")
     # The SHIPPED mixed-precision step (same as bench.py's fast path).
     shipped = make_train_step_from_batch(
         opt, A, vjp="manual", compute_dtype=bf, donate=False
@@ -140,9 +147,10 @@ def main(argv=None) -> int:
     ap.add_argument(
         "--step",
         default="shipped",
-        choices=["shipped", "fused"],
+        choices=["shipped", "fused", "qadam_int8"],
         help="which flagship step to profile (fused = Adam inside the "
-        "reverse scan, train/fused_adam.py)",
+        "reverse scan, train/fused_adam.py; qadam_int8 = the round-4 "
+        "one-pass Pallas optimizer sweep, train/qadam_pallas.py)",
     )
     args = ap.parse_args(argv)
     trace_dir, steps = capture(which=args.step)

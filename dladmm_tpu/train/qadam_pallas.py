@@ -49,9 +49,10 @@ from dladmm_tpu.train.qmoments import (
     quantize_q8,
 )
 
-# Rows (quant blocks) per grid step: 512*256 elements = 0.5 MB fp32 per
-# operand — ~3 MB resident per grid step across the 8 refs, well inside
-# VMEM with double buffering. Multiple of the int8 sublane tile (32).
+# Default rows-per-grid-step for the legacy flat view (kept for the
+# chunk_rows override surface); the kernel normally derives its chunk
+# from a ~0.5 MB/operand budget on the leaf's natural (R, last) view —
+# see _auto_chunk_rows and leaf_eligible for why the view matters.
 CHUNK_ROWS = 512
 # Leaves smaller than this (or not BLOCK-divisible) take the jnp path —
 # thresholds/beta stacks are KB-sized; the kernel exists for the 40M/20M
@@ -142,6 +143,42 @@ def _rows_spec(i):
     return (i, 0)
 
 
+def leaf_eligible(leaf) -> bool:
+    """Kernel path: >= 2-D leaves of kernel-worthwhile size whose LAST
+    dim is lane-aligned enough. The 2-D (R, last) view merges leading
+    dims only — a tiling-preserving (free) reshape on TPU, unlike the
+    flat (size/256, 256) view, which crosses the (8,128) HBM tiling and
+    made XLA materialize full relayout copies of every operand (the
+    round-4 tuner measured the kernel at 1/3 bandwidth because of them,
+    invariant to chunk size: `bench_out/tune_qadam_r4.json`)."""
+    return (
+        leaf.ndim >= 2
+        and leaf.size >= MIN_PALLAS_ELEMS
+        and leaf.shape[-1] >= 128
+    )
+
+
+def _auto_chunk_rows(R: int, L: int) -> int:
+    """Rows per grid step: ~0.5 MB of fp32 per operand (7 operands
+    double-buffered stays well inside the 16 MB scoped-VMEM budget),
+    rounded down to the int8 sublane tile (32)."""
+    cr = max(32, ((1 << 19) // (L * 4)) // 32 * 32)
+    return min(cr, max(32, R // 32 * 32)) if R >= 32 else R
+
+
+def quantize_rows(x2d: Array) -> QTensor:
+    """Per-ROW blockwise sqrt-companded int8 on a (R, L) view — the
+    fused kernel's storage codec (one scale per row; same compander as
+    train/qmoments.quantize_q8, different block geometry so the state
+    keeps the leaf's natural HBM tiling)."""
+    codes, scale = _in8_encode(x2d.astype(jnp.float32))
+    return QTensor(codes, scale)
+
+
+def dequantize_rows(q: QTensor) -> Array:
+    return _in8_decode(q.codes, q.scale)
+
+
 def _leaf_apply_pallas(
     g,
     master,
@@ -156,21 +193,26 @@ def _leaf_apply_pallas(
     copy_dtype,
     interpret,
     chunk_rows=None,
+    dims=None,
 ):
-    """Fused apply for one BLOCK-divisible leaf. Returns
-    (master', copy'|None, mu', nu') with mu/nu in the stored format."""
-    size = master.size
-    nb = size // BLOCK
-    g2 = g.reshape(nb, BLOCK)
-    m2 = master.reshape(nb, BLOCK)
-    cr = chunk_rows or CHUNK_ROWS
-    grid = (pl.cdiv(nb, cr),)
-    row = pl.BlockSpec((cr, BLOCK), _rows_spec, memory_space=pltpu.VMEM)
+    """Fused apply for one eligible leaf (natural (R, last) view).
+    Returns (master', copy'|None, mu', nu') with mu/nu stored."""
+    compiler_params = (
+        pltpu.CompilerParams(dimension_semantics=(dims,)) if dims else None
+    )
+    shape = master.shape
+    L = shape[-1]
+    R = master.size // L
+    g2 = g.reshape(R, L)
+    m2 = master.reshape(R, L)
+    cr = chunk_rows or _auto_chunk_rows(R, L)
+    grid = (pl.cdiv(R, cr),)
+    row = pl.BlockSpec((cr, L), _rows_spec, memory_space=pltpu.VMEM)
     srow = pl.BlockSpec((cr, 1), _rows_spec, memory_space=pltpu.VMEM)
     smem = pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM)
     emit_copy = copy_dtype is not None
     copy_shape = (
-        [jax.ShapeDtypeStruct((nb, BLOCK), copy_dtype)] if emit_copy else []
+        [jax.ShapeDtypeStruct((R, L), copy_dtype)] if emit_copy else []
     )
     if fmt == "int8":
         kern = _make_kernel_int8(b1, b2, eps, emit_copy, copy_dtype)
@@ -180,14 +222,15 @@ def _leaf_apply_pallas(
             in_specs=[smem, row, row, row, srow, row, srow],
             out_specs=[row, row, srow, row, srow] + [row] * emit_copy,
             out_shape=[
-                jax.ShapeDtypeStruct((nb, BLOCK), jnp.float32),
-                jax.ShapeDtypeStruct((nb, BLOCK), jnp.int8),
-                jax.ShapeDtypeStruct((nb, 1), jnp.float32),
-                jax.ShapeDtypeStruct((nb, BLOCK), jnp.int8),
-                jax.ShapeDtypeStruct((nb, 1), jnp.float32),
+                jax.ShapeDtypeStruct((R, L), jnp.float32),
+                jax.ShapeDtypeStruct((R, L), jnp.int8),
+                jax.ShapeDtypeStruct((R, 1), jnp.float32),
+                jax.ShapeDtypeStruct((R, L), jnp.int8),
+                jax.ShapeDtypeStruct((R, 1), jnp.float32),
             ]
             + copy_shape,
             interpret=interpret,
+            **({"compiler_params": compiler_params} if compiler_params else {}),
         )(scal, g2, m2, mu.codes, mu.scale, nu.codes, nu.scale)
         new_master, mu_c, mu_s, nu_c, nu_s = outs[:5]
         copy = outs[5] if emit_copy else None
@@ -203,18 +246,18 @@ def _leaf_apply_pallas(
             in_specs=[smem, row, row, row, row],
             out_specs=[row, row, row] + [row] * emit_copy,
             out_shape=[
-                jax.ShapeDtypeStruct((nb, BLOCK), jnp.float32),
-                jax.ShapeDtypeStruct((nb, BLOCK), mom_dtype),
-                jax.ShapeDtypeStruct((nb, BLOCK), mom_dtype),
+                jax.ShapeDtypeStruct((R, L), jnp.float32),
+                jax.ShapeDtypeStruct((R, L), mom_dtype),
+                jax.ShapeDtypeStruct((R, L), mom_dtype),
             ]
             + copy_shape,
             interpret=interpret,
-        )(scal, g2, m2, mu.reshape(nb, BLOCK), nu.reshape(nb, BLOCK))
+            **({"compiler_params": compiler_params} if compiler_params else {}),
+        )(scal, g2, m2, mu.reshape(R, L), nu.reshape(R, L))
         new_master, mu2, nu2 = outs[:3]
         copy = outs[3] if emit_copy else None
-        mu_n = mu2.reshape(master.shape)
-        nu_n = nu2.reshape(master.shape)
-    shape = master.shape
+        mu_n = mu2.reshape(shape)
+        nu_n = nu2.reshape(shape)
     return (
         new_master.reshape(shape),
         None if copy is None else copy.reshape(shape),
@@ -264,6 +307,7 @@ class QAdamFusedPallas:
     clip_norm: Optional[float] = None
     interpret: Optional[bool] = None
     chunk_rows: Optional[int] = None  # grid chunk (rows of 256); tuning knob
+    dims: Optional[str] = None  # dimension_semantics override; tuning knob
 
     def __post_init__(self):
         if self.moment_fmt not in ("float32", "bfloat16", "int8"):
@@ -274,23 +318,28 @@ class QAdamFusedPallas:
 
     # -- optax-compatible surface ---------------------------------------
 
-    def init(self, params):
-        def enc():
-            # Fresh arrays per call: mu and nu must NOT alias the same
-            # buffers (donating jits would donate one buffer twice).
-            zeros = jax.tree.map(
-                lambda p: jnp.zeros(p.shape, jnp.float32), params
-            )
-            if self.moment_fmt == "int8":
-                return jax.tree.map(quantize_q8, zeros)
-            if self.moment_fmt == "bfloat16":
-                return jax.tree.map(
-                    lambda v: v.astype(jnp.bfloat16), zeros
-                )
-            return zeros
+    def _enc_zero(self, p):
+        """Fresh zero moment for one leaf, in the stored format. int8
+        eligible leaves use the per-ROW codec on the (R, last) view —
+        the geometry the kernel's state keeps (leaf_eligible); others
+        use the flat-256 codec."""
+        z = jnp.zeros(p.shape, jnp.float32)
+        if self.moment_fmt == "int8":
+            if leaf_eligible(p):
+                return quantize_rows(z.reshape(-1, p.shape[-1]))
+            return quantize_q8(z)
+        if self.moment_fmt == "bfloat16":
+            return z.astype(jnp.bfloat16)
+        return z
 
+    def init(self, params):
+        # Fresh arrays per call of _enc_zero: mu and nu must NOT alias
+        # the same buffers (donating jits would donate one twice).
         return QMomentsState(
-            count=jnp.zeros((), jnp.int32), mu=enc(), nu=enc(), key=None
+            count=jnp.zeros((), jnp.int32),
+            mu=jax.tree.map(self._enc_zero, params),
+            nu=jax.tree.map(self._enc_zero, params),
+            key=None,
         )
 
     def _lr(self, count):
@@ -321,9 +370,14 @@ class QAdamFusedPallas:
         scal, count = self._scalars(grads, state)
 
         # Reference math without the master fold (generic callers own
-        # apply_updates): decode, EMA, bias-correct, re-encode.
+        # apply_updates): decode, EMA, bias-correct, re-encode. Codec
+        # per leaf mirrors init/fused_apply (leaf_eligible).
         def leaf(g, mu, nu):
-            if self.moment_fmt == "int8":
+            rows = self.moment_fmt == "int8" and leaf_eligible(g)
+            if rows:
+                mu_f = dequantize_rows(mu).reshape(g.shape)
+                nu_f = dequantize_rows(nu).reshape(g.shape)
+            elif self.moment_fmt == "int8":
                 mu_f = dequantize_q8(mu, g.shape)
                 nu_f = dequantize_q8(nu, g.shape)
             else:
@@ -342,7 +396,11 @@ class QAdamFusedPallas:
                 self.b2,
                 self.eps,
             )
-            if self.moment_fmt == "int8":
+            if rows:
+                L = g.shape[-1]
+                mu_n = quantize_rows(mu_f.reshape(-1, L))
+                nu_n = quantize_rows(nu_f.reshape(-1, L))
+            elif self.moment_fmt == "int8":
                 mu_n, nu_n = quantize_q8(mu_f), quantize_q8(nu_f)
             else:
                 dt = (
@@ -375,10 +433,7 @@ class QAdamFusedPallas:
         scal, count = self._scalars(grads, state)
 
         def leaf(g, master, mu, nu):
-            if (
-                master.size % BLOCK == 0
-                and master.size >= MIN_PALLAS_ELEMS
-            ):
+            if leaf_eligible(master):
                 return _leaf_apply_pallas(
                     g,
                     master,
@@ -392,6 +447,7 @@ class QAdamFusedPallas:
                     copy_dtype=compute_dtype,
                     interpret=interpret,
                     chunk_rows=self.chunk_rows,
+                    dims=self.dims,
                 )
             return _leaf_apply_jnp(
                 g,
@@ -429,4 +485,11 @@ class QAdamFusedPallas:
         return new_params, new_state, cp
 
 
-__all__ = ["QAdamFusedPallas", "CHUNK_ROWS", "MIN_PALLAS_ELEMS"]
+__all__ = [
+    "QAdamFusedPallas",
+    "CHUNK_ROWS",
+    "MIN_PALLAS_ELEMS",
+    "leaf_eligible",
+    "quantize_rows",
+    "dequantize_rows",
+]

@@ -84,6 +84,11 @@ def main():
         "bfloat16_pallas",
         "int8_pallas",
     )
+    # Comma-separated arm filter, e.g. DLADMM_AB_ARMS=int8_pallas,float32
+    sel = os.environ.get("DLADMM_AB_ARMS")
+    if sel:
+        want = set(sel.split(","))
+        arms = tuple(a for a in arms if a in want)
     for md in arms:
         for clip in (None, 1.0):
             opt = base(md, clip)

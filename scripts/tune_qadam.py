@@ -65,22 +65,37 @@ def main():
     out["apply_ms_optax_fp32"] = round(t * 1e3, 3)
     print(f"  optax fp32: {t * 1e3:.3f} ms", flush=True)
 
+    import dataclasses as _dc
+    import itertools
+
+    arms = []
     for fmt in ("float32", "bfloat16", "int8"):
-        for cr in (512, 1024, 2048):
-            opt = QAdamFusedPallas(1e-3, moment_fmt=fmt, chunk_rows=cr)
+        for cr in (None,):
+            for dims in (None,):
+                arms.append((fmt, cr, dims))
+    for fmt, cr, dims in arms:
+        opt = QAdamFusedPallas(
+            1e-3, moment_fmt=fmt, chunk_rows=cr, dims=dims
+        )
+        name = f"{fmt}_natural_view"
 
-            def q_apply(state, _opt=opt):
-                p, s = state
-                g = jax.tree.map(lambda v: v * 1e-3, p)
-                p2, s2, cp = _opt.fused_apply(g, s, p, jnp.bfloat16)
-                p2 = jax.tree.map(
-                    lambda a, c: a + 0.0 * c.astype(a.dtype), p2, cp
-                )
-                return (p2, s2)
+        def q_apply(state, _opt=opt):
+            p, s = state
+            g = jax.tree.map(lambda v: v * 1e-3, p)
+            p2, s2, cp = _opt.fused_apply(g, s, p, jnp.bfloat16)
+            p2 = jax.tree.map(
+                lambda a, c: a + 0.0 * c.astype(a.dtype), p2, cp
+            )
+            return (p2, s2)
 
+        try:
             t = time_chained(q_apply, (params, opt.init(params)), iters=32)
-            out[f"apply_ms_{fmt}_cr{cr}"] = round(t * 1e3, 3)
-            print(f"  {fmt} cr={cr}: {t * 1e3:.3f} ms", flush=True)
+        except Exception as e:
+            out[f"apply_ms_{name}"] = f"error: {repr(e)[:120]}"
+            print(f"  {name}: ERROR {repr(e)[:120]}", flush=True)
+            continue
+        out[f"apply_ms_{name}"] = round(t * 1e3, 3)
+        print(f"  {name}: {t * 1e3:.3f} ms", flush=True)
     print(json.dumps(out), flush=True)
 
 
