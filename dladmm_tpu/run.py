@@ -66,6 +66,7 @@ def main(argv=None) -> int:
             "int8",
             "float32_pallas",
             "bfloat16_pallas",
+            "bfloat16_sr_pallas",
             "int8_pallas",
         ],
         default=None,

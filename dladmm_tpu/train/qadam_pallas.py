@@ -83,7 +83,13 @@ def _adam_core(g, mu, nu, c1, c2, clip_scale, b1, b2, eps):
     return mu, nu, upd
 
 
-def _make_kernel_int8(b1, b2, eps, emit_copy, copy_dtype):
+def _make_kernel_int8(b1, b2, eps, emit_copy, copy_dtype, cr):
+    """cr = static rows per grid step. The scale vectors are passed as
+    FULL (Rpad, 1) VMEM-resident arrays (constant index map) and sliced
+    per grid step in-kernel: per-chunk (cr, 1) strips would cost ~4
+    tiny DMAs per grid step (~2k per optimizer step on the flagship
+    shape — profiled as the int8 kernel's residual over bf16)."""
+
     def kernel(
         scal_ref,
         g_ref,
@@ -102,8 +108,9 @@ def _make_kernel_int8(b1, b2, eps, emit_copy, copy_dtype):
         # SMEM permits scalar loads only (Mosaic) — no vector reads.
         c1, c2 = scal_ref[0, 0], scal_ref[0, 1]
         lr, cs = scal_ref[0, 2], scal_ref[0, 3]
-        mu = _in8_decode(mu_c_ref[:], mu_s_ref[:])
-        nu = _in8_decode(nu_c_ref[:], nu_s_ref[:])
+        row0 = pl.program_id(0) * cr
+        mu = _in8_decode(mu_c_ref[:], mu_s_ref[pl.ds(row0, cr), :])
+        nu = _in8_decode(nu_c_ref[:], nu_s_ref[pl.ds(row0, cr), :])
         mu, nu, upd = _adam_core(
             g_ref[:], mu, nu, c1, c2, cs, b1, b2, eps
         )
@@ -111,17 +118,30 @@ def _make_kernel_int8(b1, b2, eps, emit_copy, copy_dtype):
         master_o[:] = new_master
         if emit_copy:
             rest[0][:] = new_master.astype(copy_dtype)
-        mu_c_o[:], mu_s_o[:] = _in8_encode(mu)
-        nu_c_o[:], nu_s_o[:] = _in8_encode(nu)
+        mu_c, mu_s = _in8_encode(mu)
+        nu_c, nu_s = _in8_encode(nu)
+        mu_c_o[:] = mu_c
+        nu_c_o[:] = nu_c
+        mu_s_o[pl.ds(row0, cr), :] = mu_s
+        nu_s_o[pl.ds(row0, cr), :] = nu_s
 
     return kernel
 
 
-def _make_kernel_dense(b1, b2, eps, emit_copy, copy_dtype, mom_dtype):
-    def kernel(
-        scal_ref, g_ref, master_ref, mu_ref, nu_ref, master_o, mu_o, nu_o,
-        *rest,
-    ):
+def _make_kernel_dense(b1, b2, eps, emit_copy, copy_dtype, mom_dtype, sr=False):
+    """sr=True stores the bf16 moments with STOCHASTIC rounding from
+    the on-core PRNG — unbiased EMA writes at VPU cost (the XLA-side SR
+    variant pays +2.6 ms/step for threefry bits; the hardware PRNG is
+    ~free where the sweep is bandwidth-bound). Takes an extra SMEM seed
+    input, re-seeded per grid step for independent streams."""
+
+    def kernel(scal_ref, *refs):
+        if sr:
+            seed_ref, g_ref, master_ref, mu_ref, nu_ref, *outs = refs
+            pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
+        else:
+            g_ref, master_ref, mu_ref, nu_ref, *outs = refs
+        master_o, mu_o, nu_o, *rest = outs
         c1, c2 = scal_ref[0, 0], scal_ref[0, 1]
         lr, cs = scal_ref[0, 2], scal_ref[0, 3]
         mu = mu_ref[:].astype(jnp.float32)
@@ -133,8 +153,24 @@ def _make_kernel_dense(b1, b2, eps, emit_copy, copy_dtype, mom_dtype):
         master_o[:] = new_master
         if emit_copy:
             rest[0][:] = new_master.astype(copy_dtype)
-        mu_o[:] = mu.astype(mom_dtype)
-        nu_o[:] = nu.astype(mom_dtype)
+        if sr:
+            mu_o[:] = pltpu.stochastic_round(
+                mu,
+                pltpu.bitcast(
+                    pltpu.prng_random_bits(mu.shape), jnp.uint32
+                ),
+                target_dtype=mom_dtype,
+            )
+            nu_o[:] = pltpu.stochastic_round(
+                nu,
+                pltpu.bitcast(
+                    pltpu.prng_random_bits(nu.shape), jnp.uint32
+                ),
+                target_dtype=mom_dtype,
+            )
+        else:
+            mu_o[:] = mu.astype(mom_dtype)
+            nu_o[:] = nu.astype(mom_dtype)
 
     return kernel
 
@@ -194,9 +230,31 @@ def _leaf_apply_pallas(
     interpret,
     chunk_rows=None,
     dims=None,
+    seed=None,
 ):
     """Fused apply for one eligible leaf (natural (R, last) view).
     Returns (master', copy'|None, mu', nu') with mu/nu stored."""
+    if fmt == "bfloat16_sr" and interpret:
+        # The Mosaic PRNG primitives have no CPU-interpret lowering;
+        # emulate with the XLA-side stochastic rounder (different RNG
+        # stream, same distributional semantics — CPU runs are tests,
+        # not perf).
+        from dladmm_tpu.train.qmoments import sr_bfloat16
+
+        m2, copy, mu_f, nu_f = _leaf_apply_jnp(
+            g,
+            master,
+            mu.astype(jnp.float32),
+            nu.astype(jnp.float32),
+            scal,
+            fmt="float32",
+            b1=b1,
+            b2=b2,
+            eps=eps,
+            copy_dtype=copy_dtype,
+        )
+        kmu, knu = jax.random.split(jax.random.PRNGKey(seed))
+        return m2, copy, sr_bfloat16(mu_f, kmu), sr_bfloat16(nu_f, knu)
     compiler_params = (
         pltpu.CompilerParams(dimension_semantics=(dims,)) if dims else None
     )
@@ -215,35 +273,85 @@ def _leaf_apply_pallas(
         [jax.ShapeDtypeStruct((R, L), copy_dtype)] if emit_copy else []
     )
     if fmt == "int8":
-        kern = _make_kernel_int8(b1, b2, eps, emit_copy, copy_dtype)
+        nsteps = pl.cdiv(R, cr)
+        Rpad = nsteps * cr
+        pad_s = (
+            (lambda s: jnp.pad(s, ((0, Rpad - R), (0, 0))))
+            if Rpad != R
+            else (lambda s: s)
+        )
+        kern = _make_kernel_int8(b1, b2, eps, emit_copy, copy_dtype, cr)
+        # Scale vectors: full (Rpad, 1) arrays, constant index map —
+        # fetched into VMEM once per kernel launch (160 KB at the
+        # flagship shape), sliced per grid step in-kernel.
+        sfull = pl.BlockSpec(
+            (Rpad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM
+        )
+        # Alias state inputs onto their outputs: without this, the
+        # train step's while-loop carry cannot reuse buffers across a
+        # custom call and XLA inserts full copies of master/moments
+        # every step (profiled at ~0.9 ms on the flagship shape). The
+        # grad buffer is dead after the sweep — alias it onto the bf16
+        # copy when the dtypes line up.
+        aliases = {2: 0, 3: 1, 4: 2, 5: 3, 6: 4}
+        if emit_copy and g2.dtype == copy_dtype:
+            aliases[1] = 5
         outs = pl.pallas_call(
             kern,
             grid=grid,
-            in_specs=[smem, row, row, row, srow, row, srow],
-            out_specs=[row, row, srow, row, srow] + [row] * emit_copy,
+            in_specs=[smem, row, row, row, sfull, row, sfull],
+            out_specs=[row, row, sfull, row, sfull] + [row] * emit_copy,
             out_shape=[
                 jax.ShapeDtypeStruct((R, L), jnp.float32),
                 jax.ShapeDtypeStruct((R, L), jnp.int8),
-                jax.ShapeDtypeStruct((R, 1), jnp.float32),
+                jax.ShapeDtypeStruct((Rpad, 1), jnp.float32),
                 jax.ShapeDtypeStruct((R, L), jnp.int8),
-                jax.ShapeDtypeStruct((R, 1), jnp.float32),
+                jax.ShapeDtypeStruct((Rpad, 1), jnp.float32),
             ]
             + copy_shape,
             interpret=interpret,
+            input_output_aliases=aliases,
             **({"compiler_params": compiler_params} if compiler_params else {}),
-        )(scal, g2, m2, mu.codes, mu.scale, nu.codes, nu.scale)
+        )(
+            scal,
+            g2,
+            m2,
+            mu.codes,
+            pad_s(mu.scale),
+            nu.codes,
+            pad_s(nu.scale),
+        )
         new_master, mu_c, mu_s, nu_c, nu_s = outs[:5]
         copy = outs[5] if emit_copy else None
-        mu_n, nu_n = QTensor(mu_c, mu_s), QTensor(nu_c, nu_s)
+        mu_n = QTensor(mu_c, mu_s[:R])
+        nu_n = QTensor(nu_c, nu_s[:R])
     else:
-        mom_dtype = jnp.bfloat16 if fmt == "bfloat16" else jnp.float32
+        sr = fmt == "bfloat16_sr"
+        mom_dtype = jnp.float32 if fmt == "float32" else jnp.bfloat16
         kern = _make_kernel_dense(
-            b1, b2, eps, emit_copy, copy_dtype, mom_dtype
+            b1, b2, eps, emit_copy, copy_dtype, mom_dtype, sr=sr
         )
+        operands = [scal]
+        in_specs = [smem]
+        if sr:
+            operands.append(
+                jnp.asarray(seed, jnp.int32).reshape(1, 1)
+            )
+            in_specs.append(
+                pl.BlockSpec(
+                    (1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM
+                )
+            )
+        off = len(operands)  # index of g among the inputs
+        operands += [g2, m2, mu.reshape(R, L), nu.reshape(R, L)]
+        in_specs += [row, row, row, row]
+        aliases = {off + 1: 0, off + 2: 1, off + 3: 2}
+        if emit_copy and g2.dtype == copy_dtype:
+            aliases[off] = 3
         outs = pl.pallas_call(
             kern,
             grid=grid,
-            in_specs=[smem, row, row, row, row],
+            in_specs=in_specs,
             out_specs=[row, row, row] + [row] * emit_copy,
             out_shape=[
                 jax.ShapeDtypeStruct((R, L), jnp.float32),
@@ -252,8 +360,9 @@ def _leaf_apply_pallas(
             ]
             + copy_shape,
             interpret=interpret,
+            input_output_aliases=aliases,
             **({"compiler_params": compiler_params} if compiler_params else {}),
-        )(scal, g2, m2, mu.reshape(R, L), nu.reshape(R, L))
+        )(*operands)
         new_master, mu2, nu2 = outs[:3]
         copy = outs[3] if emit_copy else None
         mu_n = mu2.reshape(shape)
@@ -282,7 +391,7 @@ def _leaf_apply_jnp(g, master, mu, nu, scal, *, fmt, b1, b2, eps, copy_dtype):
     if fmt == "int8":
         mu_n, nu_n = quantize_q8(mu_f), quantize_q8(nu_f)
     else:
-        dt = jnp.bfloat16 if fmt == "bfloat16" else jnp.float32
+        dt = jnp.float32 if fmt == "float32" else jnp.bfloat16
         mu_n, nu_n = mu_f.astype(dt), nu_f.astype(dt)
     return new_master, copy, mu_n, nu_n
 
@@ -310,9 +419,14 @@ class QAdamFusedPallas:
     dims: Optional[str] = None  # dimension_semantics override; tuning knob
 
     def __post_init__(self):
-        if self.moment_fmt not in ("float32", "bfloat16", "int8"):
+        if self.moment_fmt not in (
+            "float32",
+            "bfloat16",
+            "bfloat16_sr",
+            "int8",
+        ):
             raise ValueError(
-                f"moment_fmt must be float32|bfloat16|int8, "
+                "moment_fmt must be float32|bfloat16|bfloat16_sr|int8, "
                 f"got {self.moment_fmt!r}"
             )
 
@@ -328,7 +442,7 @@ class QAdamFusedPallas:
             if leaf_eligible(p):
                 return quantize_rows(z.reshape(-1, p.shape[-1]))
             return quantize_q8(z)
-        if self.moment_fmt == "bfloat16":
+        if self.moment_fmt in ("bfloat16", "bfloat16_sr"):
             return z.astype(jnp.bfloat16)
         return z
 
@@ -404,10 +518,14 @@ class QAdamFusedPallas:
                 mu_n, nu_n = quantize_q8(mu_f), quantize_q8(nu_f)
             else:
                 dt = (
-                    jnp.bfloat16
-                    if self.moment_fmt == "bfloat16"
-                    else jnp.float32
+                    jnp.float32
+                    if self.moment_fmt == "float32"
+                    else jnp.bfloat16
                 )
+                # NOTE: the reference path rounds to nearest even for
+                # "bfloat16_sr" — stochastic rounding lives in the
+                # fused kernel (hardware PRNG); generic callers get the
+                # plain-bf16 semantics.
                 mu_n, nu_n = mu_f.astype(dt), nu_f.astype(dt)
             return (-scal[0, 2] * upd).astype(g.dtype), mu_n, nu_n
 
@@ -432,8 +550,11 @@ class QAdamFusedPallas:
             interpret = jax.default_backend() != "tpu"
         scal, count = self._scalars(grads, state)
 
-        def leaf(g, master, mu, nu):
+        def leaf(g, master, mu, nu, idx):
             if leaf_eligible(master):
+                # SR streams: distinct per (step, leaf, grid step) — the
+                # kernel adds program_id; deterministic given the count.
+                seed = count * jnp.int32(1000003) + jnp.int32(idx * 8191)
                 return _leaf_apply_pallas(
                     g,
                     master,
@@ -448,6 +569,7 @@ class QAdamFusedPallas:
                     interpret=interpret,
                     chunk_rows=self.chunk_rows,
                     dims=self.dims,
+                    seed=seed,
                 )
             return _leaf_apply_jnp(
                 g,
@@ -467,8 +589,10 @@ class QAdamFusedPallas:
         flat_mu = treedef.flatten_up_to(state.mu)
         flat_nu = treedef.flatten_up_to(state.nu)
         res = [
-            leaf(g, p, mu, nu)
-            for g, p, mu, nu in zip(flat_g, flat_p, flat_mu, flat_nu)
+            leaf(g, p, mu, nu, i)
+            for i, (g, p, mu, nu) in enumerate(
+                zip(flat_g, flat_p, flat_mu, flat_nu)
+            )
         ]
         new_params = treedef.unflatten([r[0] for r in res])
         new_state = QMomentsState(

@@ -230,7 +230,7 @@ def main() -> int:
     qgrads = jax.tree.map(
         lambda v: 0.1 * jnp.sin(v * 3.0), qparams
     )
-    for fmt in ("float32", "bfloat16", "int8"):
+    for fmt in ("float32", "bfloat16", "bfloat16_sr", "int8"):
         opt = QAdamFusedPallas(
             1e-3, moment_fmt=fmt, clip_norm=1.0, interpret=False
         )

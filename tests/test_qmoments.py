@@ -289,3 +289,25 @@ def test_pallas_moment_dtype_rejects_delayed_clip():
     )
     with pytest.raises(ValueError, match="clip_mode"):
         _build_optimizer(t)
+
+
+def test_fused_sr_bf16_close_to_fp32_reference():
+    """bfloat16_sr (Pallas hardware PRNG SR, interpret mode on CPU):
+    masters match the fp32-moment trajectory to bf16-ulp noise, and
+    the stored moments round stochastically (not always RTN)."""
+    from dladmm_tpu.train.qadam_pallas import QAdamFusedPallas
+
+    rng = np.random.default_rng(9)
+    params = {"w": jnp.asarray(rng.normal(size=(256, 256)), jnp.float32)}
+    ref = QAdamFusedPallas(1e-3, moment_fmt="float32")
+    sr = QAdamFusedPallas(1e-3, moment_fmt="bfloat16_sr")
+    st_r, st_s = ref.init(params), sr.init(params)
+    p_r = p_s = params
+    for step in range(3):
+        g = jax.tree.map(lambda v: jnp.cos(v * (step + 1)) * 0.2, p_r)
+        p_r, st_r, _ = ref.fused_apply(g, st_r, p_r, None)
+        p_s, st_s, _ = sr.fused_apply(g, st_s, p_s, None)
+    np.testing.assert_allclose(
+        np.asarray(p_s["w"]), np.asarray(p_r["w"]), atol=5e-5
+    )
+    assert st_s.mu["w"].dtype == jnp.bfloat16
