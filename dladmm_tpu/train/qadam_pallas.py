@@ -84,11 +84,16 @@ def _adam_core(g, mu, nu, c1, c2, clip_scale, b1, b2, eps):
 
 
 def _make_kernel_int8(b1, b2, eps, emit_copy, copy_dtype, cr):
-    """cr = static rows per grid step. The scale vectors are passed as
-    FULL (Rpad, 1) VMEM-resident arrays (constant index map) and sliced
-    per grid step in-kernel: per-chunk (cr, 1) strips would cost ~4
-    tiny DMAs per grid step (~2k per optimizer step on the flagship
-    shape — profiled as the int8 kernel's residual over bf16)."""
+    """Scale interface: per-chunk (cr, 1) column strips. Two designs
+    that avoid the strips were measured/attempted and rejected:
+    a VMEM-resident (Rpad, 1) vector OOMs scoped VMEM (lane-padded x128
+    physically = 20 MB for the flagship W1 leaf), and a lane-packed
+    (rows/128, 128) resident array needs an in-kernel (n,128)->(cr,1)
+    shape cast Mosaic does not support ("infer-vector-layout:
+    unsupported shape cast"). The strips' tiny DMAs cost ~0.2-0.3 ms on
+    the flagship shape — accepted; int8 moments are the optimizer-
+    footprint option, bf16 the speed option (BASELINE.md round-4)."""
+    del cr
 
     def kernel(
         scal_ref,
@@ -108,9 +113,8 @@ def _make_kernel_int8(b1, b2, eps, emit_copy, copy_dtype, cr):
         # SMEM permits scalar loads only (Mosaic) — no vector reads.
         c1, c2 = scal_ref[0, 0], scal_ref[0, 1]
         lr, cs = scal_ref[0, 2], scal_ref[0, 3]
-        row0 = pl.program_id(0) * cr
-        mu = _in8_decode(mu_c_ref[:], mu_s_ref[pl.ds(row0, cr), :])
-        nu = _in8_decode(nu_c_ref[:], nu_s_ref[pl.ds(row0, cr), :])
+        mu = _in8_decode(mu_c_ref[:], mu_s_ref[:])
+        nu = _in8_decode(nu_c_ref[:], nu_s_ref[:])
         mu, nu, upd = _adam_core(
             g_ref[:], mu, nu, c1, c2, cs, b1, b2, eps
         )
@@ -122,8 +126,8 @@ def _make_kernel_int8(b1, b2, eps, emit_copy, copy_dtype, cr):
         nu_c, nu_s = _in8_encode(nu)
         mu_c_o[:] = mu_c
         nu_c_o[:] = nu_c
-        mu_s_o[pl.ds(row0, cr), :] = mu_s
-        nu_s_o[pl.ds(row0, cr), :] = nu_s
+        mu_s_o[:] = mu_s
+        nu_s_o[:] = nu_s
 
     return kernel
 
@@ -191,28 +195,51 @@ def leaf_eligible(leaf) -> bool:
         leaf.ndim >= 2
         and leaf.size >= MIN_PALLAS_ELEMS
         and leaf.shape[-1] >= 128
+        and leaf.size // leaf.shape[-1] >= 128  # packed-scale geometry
     )
 
 
 def _auto_chunk_rows(R: int, L: int) -> int:
     """Rows per grid step: ~0.5 MB of fp32 per operand (7 operands
     double-buffered stays well inside the 16 MB scoped-VMEM budget),
-    rounded down to the int8 sublane tile (32)."""
-    cr = max(32, ((1 << 19) // (L * 4)) // 32 * 32)
-    return min(cr, max(32, R // 32 * 32)) if R >= 32 else R
+    in multiples of 128 so the lane-packed scale slices stay exact."""
+    cr = max(128, ((1 << 19) // (L * 4)) // 128 * 128)
+    return min(cr, R // 128 * 128)
+
+
+def _pack_scale(scale_col: Array, rows_pad: int) -> Array:
+    """(R, 1) per-row scales -> lane-packed (rows_pad/128, 128). A
+    (R, 1) f32 array is physically lane-padded x128 by the T(8,128)
+    tiling (20 MB for the flagship W1 leaf!); packed it is the true
+    160 KB and rides VMEM whole."""
+    flat = scale_col.reshape(-1)
+    if rows_pad != flat.size:
+        flat = jnp.concatenate(
+            [flat, jnp.ones((rows_pad - flat.size,), flat.dtype)]
+        )
+    return flat.reshape(-1, 128)
+
+
+def _unpack_scale(packed: Array, R: int) -> Array:
+    return packed.reshape(-1)[:R, None]
+
+
+def _scale_rows_pad(R: int) -> int:
+    return pl.cdiv(R, 128) * 128
 
 
 def quantize_rows(x2d: Array) -> QTensor:
     """Per-ROW blockwise sqrt-companded int8 on a (R, L) view — the
-    fused kernel's storage codec (one scale per row; same compander as
-    train/qmoments.quantize_q8, different block geometry so the state
-    keeps the leaf's natural HBM tiling)."""
+    fused kernel's storage codec (one scale per row, lane-packed to
+    (ceil(R/128), 128); same compander as train/qmoments.quantize_q8,
+    different geometry so the state keeps the leaf's natural HBM
+    tiling)."""
     codes, scale = _in8_encode(x2d.astype(jnp.float32))
-    return QTensor(codes, scale)
+    return QTensor(codes, _pack_scale(scale, _scale_rows_pad(codes.shape[0])))
 
 
 def dequantize_rows(q: QTensor) -> Array:
-    return _in8_decode(q.codes, q.scale)
+    return _in8_decode(q.codes, _unpack_scale(q.scale, q.codes.shape[0]))
 
 
 def _leaf_apply_pallas(
@@ -273,20 +300,15 @@ def _leaf_apply_pallas(
         [jax.ShapeDtypeStruct((R, L), copy_dtype)] if emit_copy else []
     )
     if fmt == "int8":
-        nsteps = pl.cdiv(R, cr)
-        Rpad = nsteps * cr
-        pad_s = (
-            (lambda s: jnp.pad(s, ((0, Rpad - R), (0, 0))))
-            if Rpad != R
-            else (lambda s: s)
-        )
+        def expand(packed):
+            # Compact lane-packed state -> the (R, 1) column the strip
+            # interface consumes (physically lane-padded in HBM; the
+            # expansion/repack relayouts are the accepted cost — see
+            # _make_kernel_int8's docstring).
+            return _unpack_scale(packed, R)
+
         kern = _make_kernel_int8(b1, b2, eps, emit_copy, copy_dtype, cr)
-        # Scale vectors: full (Rpad, 1) arrays, constant index map —
-        # fetched into VMEM once per kernel launch (160 KB at the
-        # flagship shape), sliced per grid step in-kernel.
-        sfull = pl.BlockSpec(
-            (Rpad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM
-        )
+        sfull = srow
         # Alias state inputs onto their outputs: without this, the
         # train step's while-loop carry cannot reuse buffers across a
         # custom call and XLA inserts full copies of master/moments
@@ -304,9 +326,9 @@ def _leaf_apply_pallas(
             out_shape=[
                 jax.ShapeDtypeStruct((R, L), jnp.float32),
                 jax.ShapeDtypeStruct((R, L), jnp.int8),
-                jax.ShapeDtypeStruct((Rpad, 1), jnp.float32),
+                jax.ShapeDtypeStruct((R, 1), jnp.float32),
                 jax.ShapeDtypeStruct((R, L), jnp.int8),
-                jax.ShapeDtypeStruct((Rpad, 1), jnp.float32),
+                jax.ShapeDtypeStruct((R, 1), jnp.float32),
             ]
             + copy_shape,
             interpret=interpret,
@@ -317,14 +339,15 @@ def _leaf_apply_pallas(
             g2,
             m2,
             mu.codes,
-            pad_s(mu.scale),
+            expand(mu.scale),
             nu.codes,
-            pad_s(nu.scale),
+            expand(nu.scale),
         )
         new_master, mu_c, mu_s, nu_c, nu_s = outs[:5]
         copy = outs[5] if emit_copy else None
-        mu_n = QTensor(mu_c, mu_s[:R])
-        nu_n = QTensor(nu_c, nu_s[:R])
+        spr = _scale_rows_pad(R)
+        mu_n = QTensor(mu_c, _pack_scale(mu_s, spr))
+        nu_n = QTensor(nu_c, _pack_scale(nu_s, spr))
     else:
         sr = fmt == "bfloat16_sr"
         mom_dtype = jnp.float32 if fmt == "float32" else jnp.bfloat16

@@ -52,11 +52,16 @@ BLOCK = 256
 
 class QTensor(NamedTuple):
     """Blockwise-companded int8 tensor: codes (nblocks, BLOCK) int8 +
-    per-block fp32 absmax scales (nblocks, 1). The logical shape/size is
-    carried by the matching parameter/gradient leaf at decode time."""
+    per-block fp32 absmax scales. Scales are stored 1-D (nblocks,) —
+    on TPU a (N, 1) array is lane-padded to (N, 128) physically (the
+    T(8,128) tiling), a 128x HBM/VMEM bloat the round-4 kernel work
+    measured; 1-D arrays tile compactly. (The fused kernel's per-row
+    codec packs them (ceil(R/128), 128) instead — train/qadam_pallas.)
+    The logical shape/size is carried by the matching parameter leaf at
+    decode time."""
 
     codes: Array  # int8 (nblocks, BLOCK)
-    scale: Array  # float32 (nblocks, 1)
+    scale: Array  # float32 (nblocks,) — or lane-packed 2D (kernel codec)
 
 
 def quantize_q8(x: Array, block: int = BLOCK) -> QTensor:
@@ -66,9 +71,9 @@ def quantize_q8(x: Array, block: int = BLOCK) -> QTensor:
     if pad:
         flat = jnp.concatenate([flat, jnp.zeros((pad,), jnp.float32)])
     blocks = flat.reshape(-1, block)
-    absmax = jnp.max(jnp.abs(blocks), axis=1, keepdims=True)
+    absmax = jnp.max(jnp.abs(blocks), axis=1)
     scale = jnp.where(absmax > 0.0, absmax, 1.0)
-    y = blocks / scale
+    y = blocks / scale[:, None]
     c = jnp.sign(y) * jnp.sqrt(jnp.abs(y))
     return QTensor(
         jnp.round(c * 127.0).astype(jnp.int8), scale.astype(jnp.float32)
@@ -79,7 +84,7 @@ def dequantize_q8(q: QTensor, shape) -> Array:
     """QTensor -> fp32 array of ``shape`` (inverse of quantize_q8 up to
     the int8 rounding)."""
     c = q.codes.astype(jnp.float32) / 127.0
-    y = jnp.sign(c) * c * c * q.scale
+    y = jnp.sign(c) * c * c * q.scale[:, None]
     size = 1
     for s in shape:
         size *= s

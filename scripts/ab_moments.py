@@ -82,6 +82,7 @@ def main():
         "int8",
         "float32_pallas",
         "bfloat16_pallas",
+        "bfloat16_sr_pallas",
         "int8_pallas",
     )
     # Comma-separated arm filter, e.g. DLADMM_AB_ARMS=int8_pallas,float32
