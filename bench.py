@@ -40,7 +40,24 @@ import time
 
 # Wall-clock budget (seconds) after which remaining SECONDARY phases are
 # skipped. The driver's capture budget is ~10 min; leave headroom.
-SOFT_BUDGET_S = 390.0
+# Round 5 hardening (VERDICT r4 #1 — the r4 capture overran 390 s and
+# dropped the paper_config_b1024 series): tracked round-over-round
+# series run FIRST, each phase declares an estimated cost so a late
+# cheap phase is not serially starved by an early overrun, and the
+# settled-rejection fused_adam arm (measured 11.0/11.2 ms in r3/r4 —
+# BASELINE.md) runs as an every-3rd-round regression canary instead of
+# burning ~60 s every capture.
+SOFT_BUDGET_S = 330.0
+# Estimated per-phase costs (seconds, cold-cache; warm persistent-cache
+# runs are far cheaper). A phase is skipped UPFRONT when the remaining
+# budget cannot cover its estimate — protecting the phases behind it.
+PHASE_EST_S = {
+    "paper_config": 80.0,
+    "deep_supervised": 65.0,
+    "qadam_int8": 65.0,
+    "fused_adam": 65.0,
+}
+FUSED_ADAM_CANARY_EVERY = 3  # rounds
 
 # Smoke-test hook: DLADMM_BENCH_PLATFORM=cpu runs the whole harness on
 # CPU (the sandbox sitecustomize pins JAX_PLATFORMS, so the standard env
@@ -304,13 +321,16 @@ def main() -> int:
     skipped = []
 
     def run_phase(name, fn):
-        if time.monotonic() - t0 > SOFT_BUDGET_S:
+        est = PHASE_EST_S.get(name, 60.0)
+        if time.monotonic() - t0 + est > SOFT_BUDGET_S:
             skipped.append(name)
             return
+        p0 = time.monotonic()
         try:
             fn()
         except Exception as exc:  # a failed extra must not null the run
             detail[f"{name}_error"] = repr(exc)[:300]
+        detail[f"{name}_phase_s"] = round(time.monotonic() - p0, 1)
 
     def phase_deep_supervised():
         # The shipped synthetic-preset default since r2: deep supervision
@@ -387,16 +407,47 @@ def main() -> int:
         detail["qadam_int8_step_ms"] = round(t_q * 1e3, 3)
 
     def phase_paper_config():
-        # The paper's own config (A 250x500, batch 64, K=15) through the
-        # full-Pallas training step (fwd+bwd megakernels).
+        # The paper's own config (A 250x500, K=15) through the
+        # full-Pallas training steps (fwd+bwd megakernels). The batch-
+        # 1024 chunked-bf16 series runs FIRST — it is the round-over-
+        # round tracked number BENCH_r04 dropped when this phase ran
+        # last and hit the old serial budget cutoff.
         from dladmm_tpu.ops.pallas_unroll import make_unrolled_forward
 
         m2, n2, K2, S2 = (64, 128, 4, 16) if _SMOKE else (250, 500, 15, 64)
         A2 = make_dictionary(kA, m2, n2)
         p2 = init_dladmm_params(A2, K=K2)
-        d2 = make_batch(kb, A2, S2)
         opt2 = optax.adam(1e-3)
         mega = make_unrolled_forward()
+
+        # Batch 1024 via the batch-chunked backward megakernel (round 2
+        # — beats the round-1 527 us manual-VJP best).
+        d3 = make_batch(kb, A2, 64 if _SMOKE else 1024)
+        shipped2 = make_train_step_from_batch(
+            opt2,
+            A2,
+            forward_fn=mega,
+            compute_dtype=bf,
+            donate=False,
+        )
+
+        def big_step(state):
+            new_state, _ = shipped2(state, d3)
+            return new_state
+
+        t_big = _chained_train_time(
+            big_step, make_train_state(p2, opt2, bf), iters=8 if _SMOKE else 128
+        )
+        detail["paper_config_b1024_chunked_bf16_step_us"] = round(
+            t_big * 1e6, 1
+        )
+        detail["paper_config_b1024_layer_iter_per_s"] = round(
+            K2 * 1024 / t_big, 1
+        )
+
+        # Batch 64 (the paper's own batch) through the fp32 whole-unroll
+        # fwd+bwd megakernel step.
+        d2 = make_batch(kb, A2, S2)
 
         def ref_step(state):
             def loss(p):
@@ -422,39 +473,23 @@ def main() -> int:
         detail["paper_config_full_pallas_step_us"] = round(t_ref * 1e6, 1)
         detail["paper_config_layer_iter_per_s"] = round(K2 * S2 / t_ref, 1)
 
-        # Paper config at batch 1024 via the batch-chunked backward
-        # megakernel (round 2 — beats the round-1 527 us manual-VJP
-        # best).
-        if time.monotonic() - t0 > SOFT_BUDGET_S:
-            skipped.append("paper_config_b1024")
-            return
-        d3 = make_batch(kb, A2, 64 if _SMOKE else 1024)
-        shipped2 = make_train_step_from_batch(
-            opt2,
-            A2,
-            forward_fn=mega,
-            compute_dtype=bf,
-            donate=False,
-        )
+    # Tracked round-over-round series first (paper_config, the shipped-
+    # default deep-supervised step, the round-4 qadam arm); the settled
+    # fused_adam rejection re-measures only on the canary cadence.
+    import glob as _glob
 
-        def big_step(state):
-            new_state, _ = shipped2(state, d3)
-            return new_state
-
-        t_big = _chained_train_time(
-            big_step, make_train_state(p2, opt2, bf), iters=8 if _SMOKE else 128
-        )
-        detail["paper_config_b1024_chunked_bf16_step_us"] = round(
-            t_big * 1e6, 1
-        )
-        detail["paper_config_b1024_layer_iter_per_s"] = round(
-            K2 * 1024 / t_big, 1
-        )
-
-    run_phase("deep_supervised", phase_deep_supervised)
-    run_phase("fused_adam", phase_fused_adam)
-    run_phase("qadam_int8", phase_qadam_int8)
+    round_no = len(_glob.glob("BENCH_r*.json")) + 1
     run_phase("paper_config", phase_paper_config)
+    run_phase("deep_supervised", phase_deep_supervised)
+    run_phase("qadam_int8", phase_qadam_int8)
+    if round_no % FUSED_ADAM_CANARY_EVERY == 0:
+        run_phase("fused_adam", phase_fused_adam)
+    else:
+        detail["fused_adam_step_ms_note"] = (
+            "settled rejection (11.0/11.2 ms in r3/r4 — BASELINE.md); "
+            f"re-measured as a canary every {FUSED_ADAM_CANARY_EVERY} "
+            f"rounds (this is round {round_no})"
+        )
 
     if skipped:
         detail["skipped_over_budget"] = skipped

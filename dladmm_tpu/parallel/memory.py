@@ -93,6 +93,7 @@ def per_chip_bytes(
     compute_dtype_bytes: Optional[int] = None,
     d: Optional[int] = None,
     opt_shard_degree: int = 1,
+    moment_bytes: Optional[float] = None,
 ) -> MemoryBreakdown:
     """Bytes per chip for one sharded training step (B = I, d = m).
 
@@ -125,8 +126,15 @@ def per_chip_bytes(
     )
     params = p_elems * dtype_bytes
     # ZeRO-1 (opt_shard_degree = data_axis): each chip holds 1/D of the
-    # Adam moments (collectives.make_dp_zero1_train_step).
-    moments = 2 * params / max(1, opt_shard_degree)
+    # Adam moments (collectives.make_dp_zero1_train_step). moment_bytes
+    # charges reduced-precision moment STORAGE (TrainConfig.moment_dtype
+    # — train/qmoments.py: bf16 = 2, blockwise int8 = ~1.02 incl. the
+    # per-block fp32 scales); composed with ZeRO-1 the flagship's 480 MB
+    # replicated fp32 moments become moments*(bytes/4)/D per chip.
+    moments = (
+        2 * p_elems * (moment_bytes or dtype_bytes)
+        / max(1, opt_shard_degree)
+    )
     copy = 0.0 if compute_dtype_bytes is None else p_elems * cb
     A_bytes = m * n / T * cb + (m * n / T * dtype_bytes if cb != dtype_bytes else 0)
     # Forward carry + per-layer residual stacks (see docstring). The
@@ -159,6 +167,7 @@ def audit_or_raise(
     print_fn=None,
     d=None,
     opt_shard_degree: int = 1,
+    moment_bytes: Optional[float] = None,
 ) -> MemoryBreakdown:
     """Assert the projected per-chip footprint fits device HBM (with
     headroom for XLA temporaries); returns the breakdown. fit_sharded
@@ -177,6 +186,7 @@ def audit_or_raise(
         compute_dtype_bytes,
         d,
         opt_shard_degree,
+        moment_bytes,
     )
     budget = hbm_bytes * (1 - headroom)
     if print_fn:

@@ -602,7 +602,13 @@ def _build_optimizer(t) -> optax.GradientTransformation:
         # transform is chained around it.
         from dladmm_tpu.train.qadam_pallas import QAdamFusedPallas
 
-        if getattr(t, "clip_mode", "global") != "global":
+        if (
+            getattr(t, "clip_norm", None)
+            and getattr(t, "clip_mode", "global") != "global"
+        ):
+            # Only when clipping is actually requested: a leftover
+            # clip_mode with clip_norm=None is a no-op, not an error
+            # (ADVICE r4 #3).
             raise ValueError(
                 "moment_dtype='*_pallas' implements exact global "
                 "clipping inside the fused sweep; clip_mode must be "
@@ -1169,6 +1175,24 @@ def fit_sharded(
                 "a kernel/vjp-selectable single-chip path. Leave them "
                 '"auto" (they apply on DP-only meshes).'
             )
+        md = getattr(t, "moment_dtype", "float32")
+        if md.endswith("_pallas") or md == "int8":
+            # TP's optimizer update runs under GSPMD with the Adam
+            # moments inheriting the W1/W2 shards — which requires
+            # PARAM-SHAPED moment leaves. int8's QTensor state is
+            # (nblocks, 256)+(nblocks,) shaped (no W2 axis for GSPMD to
+            # shard along), and the fused pallas sweep cannot partition
+            # a pallas_call across model shards. float32/bfloat16/
+            # bfloat16_sr moments are param-shaped and compose
+            # (tests/test_distributed.py pins TP x bfloat16_sr parity).
+            raise ValueError(
+                f"moment_dtype={md!r} does not compose with "
+                f"model_axis={s.model_axis}: int8 QTensor moment state "
+                "is not param-shaped (GSPMD cannot shard it along the "
+                "W2 'model' axis) and the fused pallas sweep cannot "
+                "partition across model shards. Use moment_dtype in "
+                "{'float32', 'bfloat16', 'bfloat16_sr'} with TP."
+            )
     if s.multihost:
         initialize_distributed()
     n_needed = s.data_axis * s.model_axis
@@ -1195,6 +1219,15 @@ def fit_sharded(
         print_fn=print if is_primary else None,
         d=(p.d or p.m) if general_b else None,
         opt_shard_degree=s.data_axis if zero1 else 1,
+        # Reduced-precision moment storage shrinks the audit's optimizer
+        # rows (int8: codes + ~0.4% fp32 block scales); composes
+        # multiplicatively with the ZeRO-1 /D above.
+        moment_bytes={
+            "float32": 4.0,
+            "bfloat16": 2.0,
+            "bfloat16_sr": 2.0,
+            "int8": 1.02,
+        }[getattr(t, "moment_dtype", "float32").removesuffix("_pallas")],
     )
     if s.multihost and jax.process_count() > 1:
         mesh = make_multihost_mesh(model=s.model_axis)

@@ -15,8 +15,14 @@ the ENTIRE optimizer application in one pass over each parameter leaf:
 so every byte of optimizer state is touched exactly once per step, with
 the (de)quantization arithmetic riding the VPU where the op is
 bandwidth-bound. Moment formats: float32 (plain fused sweep), bfloat16,
-and blockwise sqrt-companded int8 (train/qmoments.py's storage scheme,
-bit-compatible with its QTensor state so checkpoints interchange).
+and blockwise sqrt-companded int8. The int8 format shares
+train/qmoments.py's QTensor container and sqrt compander, but NOT its
+state geometry for kernel-eligible leaves: this kernel stores per-ROW
+(R, L) codes with lane-packed (ceil(R/128), 128) scales, while qmoments
+stores flat (nblocks, 256) codes with 1-D scales — so a checkpoint
+trained with moment_dtype="int8" does NOT resume as "int8_pallas" (or
+vice versa); the optimizer-state templates differ by design (the row
+codec keeps the leaf's natural HBM tiling).
 
 The reference has no counterpart (torch.optim.Adam on one GPU —
 SURVEY.md §3.1); this is TPU-native scope per the north star's
@@ -58,6 +64,13 @@ CHUNK_ROWS = 512
 # thresholds/beta stacks are KB-sized; the kernel exists for the 40M/20M
 # element weight stacks.
 MIN_PALLAS_ELEMS = 1 << 16
+# Widest last-dim the kernel accepts: the minimum grid chunk is 128 rows
+# (lane-packed scale slices), and the fp32 variant moves ~30 bytes/elem
+# of row-block operands, double-buffered — so a 128-row chunk of a leaf
+# wider than this blows the ~12 MB scoped-VMEM budget (Mosaic OOMs
+# instead of erroring usefully — ADVICE r4 #4). Wider leaves take the
+# jnp path; current model shapes top out at L=1000.
+MAX_PALLAS_LASTDIM = (12 << 20) // (60 * 128)  # = 1638
 
 
 def _in8_decode(codes, scale):
@@ -71,6 +84,24 @@ def _in8_encode(x):
     y = x / scale
     c = jnp.sign(y) * jnp.sqrt(jnp.abs(y))
     return jnp.round(c * 127.0).astype(jnp.int8), scale
+
+
+def _mix_seed(count, idx: int):
+    """Hash-mix (step count, leaf index) into one int32 kernel seed.
+
+    uint32 arithmetic wraps modularly, so there is no silent int32
+    overflow (the old `count * 1000003 + idx * 8191` form overflowed
+    from step ~2147); the xor-shift/multiply finalizer spreads nearby
+    (count, idx) pairs across the word. The kernel adds program_id so
+    grid steps within a leaf get distinct streams. Distinctness across
+    (step, leaf, grid-step) triples is hash-quality, not a guarantee."""
+    s = count.astype(jnp.uint32) + jnp.uint32(((idx + 1) * 0x9E3779B9) & 0xFFFFFFFF)
+    s = s ^ (s >> 16)
+    s = s * jnp.uint32(0x7FEB352D)
+    s = s ^ (s >> 15)
+    s = s * jnp.uint32(0x846CA68B)
+    s = s ^ (s >> 16)
+    return jax.lax.bitcast_convert_type(s, jnp.int32)
 
 
 def _adam_core(g, mu, nu, c1, c2, clip_scale, b1, b2, eps):
@@ -194,7 +225,7 @@ def leaf_eligible(leaf) -> bool:
     return (
         leaf.ndim >= 2
         and leaf.size >= MIN_PALLAS_ELEMS
-        and leaf.shape[-1] >= 128
+        and 128 <= leaf.shape[-1] <= MAX_PALLAS_LASTDIM  # VMEM budget
         and leaf.size // leaf.shape[-1] >= 128  # packed-scale geometry
     )
 
@@ -398,9 +429,14 @@ def _leaf_apply_pallas(
     )
 
 
-def _leaf_apply_jnp(g, master, mu, nu, scal, *, fmt, b1, b2, eps, copy_dtype):
+def _leaf_apply_jnp(
+    g, master, mu, nu, scal, *, fmt, b1, b2, eps, copy_dtype, seed=None
+):
     """Reference path for small / non-divisible leaves: identical math,
-    XLA-fused (these leaves are KB-sized, traffic is irrelevant)."""
+    XLA-fused (these leaves are KB-sized, traffic is irrelevant).
+    fmt="bfloat16_sr" stores via the XLA-side stochastic rounder (seed
+    required) — same unbiased-EMA semantics as the kernel, different RNG
+    stream."""
     if fmt == "int8":
         mu_f = dequantize_q8(mu, master.shape)
         nu_f = dequantize_q8(nu, master.shape)
@@ -413,6 +449,11 @@ def _leaf_apply_jnp(g, master, mu, nu, scal, *, fmt, b1, b2, eps, copy_dtype):
     copy = None if copy_dtype is None else new_master.astype(copy_dtype)
     if fmt == "int8":
         mu_n, nu_n = quantize_q8(mu_f), quantize_q8(nu_f)
+    elif fmt == "bfloat16_sr":
+        from dladmm_tpu.train.qmoments import sr_bfloat16
+
+        kmu, knu = jax.random.split(jax.random.PRNGKey(seed))
+        mu_n, nu_n = sr_bfloat16(mu_f, kmu), sr_bfloat16(nu_f, knu)
     else:
         dt = jnp.float32 if fmt == "float32" else jnp.bfloat16
         mu_n, nu_n = mu_f.astype(dt), nu_f.astype(dt)
@@ -509,7 +550,7 @@ class QAdamFusedPallas:
         # Reference math without the master fold (generic callers own
         # apply_updates): decode, EMA, bias-correct, re-encode. Codec
         # per leaf mirrors init/fused_apply (leaf_eligible).
-        def leaf(g, mu, nu):
+        def leaf(g, mu, nu, idx):
             rows = self.moment_fmt == "int8" and leaf_eligible(g)
             if rows:
                 mu_f = dequantize_rows(mu).reshape(g.shape)
@@ -539,23 +580,37 @@ class QAdamFusedPallas:
                 nu_n = quantize_rows(nu_f.reshape(-1, L))
             elif self.moment_fmt == "int8":
                 mu_n, nu_n = quantize_q8(mu_f), quantize_q8(nu_f)
+            elif self.moment_fmt == "bfloat16_sr":
+                # Honor the SR semantics the caller selected (unbiased
+                # EMA writes) on the generic path too — via the XLA-side
+                # stochastic rounder, seeded from (count, leaf). Slower
+                # than the kernel's hardware PRNG (threefry bits cost
+                # ~+2.6 ms/step at the flagship shape — BASELINE.md),
+                # but a silent round-to-nearest downgrade here would
+                # reintroduce exactly the truncation bias the user opted
+                # out of (ADVICE r4 #1).
+                from dladmm_tpu.train.qmoments import sr_bfloat16
+
+                kmu, knu = jax.random.split(
+                    jax.random.PRNGKey(_mix_seed(count, idx))
+                )
+                mu_n, nu_n = sr_bfloat16(mu_f, kmu), sr_bfloat16(nu_f, knu)
             else:
                 dt = (
                     jnp.float32
                     if self.moment_fmt == "float32"
                     else jnp.bfloat16
                 )
-                # NOTE: the reference path rounds to nearest even for
-                # "bfloat16_sr" — stochastic rounding lives in the
-                # fused kernel (hardware PRNG); generic callers get the
-                # plain-bf16 semantics.
                 mu_n, nu_n = mu_f.astype(dt), nu_f.astype(dt)
             return (-scal[0, 2] * upd).astype(g.dtype), mu_n, nu_n
 
         flat_g, treedef = jax.tree.flatten(grads)
         flat_mu = treedef.flatten_up_to(state.mu)
         flat_nu = treedef.flatten_up_to(state.nu)
-        res = [leaf(g, mu, nu) for g, mu, nu in zip(flat_g, flat_mu, flat_nu)]
+        res = [
+            leaf(g, mu, nu, i)
+            for i, (g, mu, nu) in enumerate(zip(flat_g, flat_mu, flat_nu))
+        ]
         updates = treedef.unflatten([r[0] for r in res])
         mu_n = treedef.unflatten([r[1] for r in res])
         nu_n = treedef.unflatten([r[2] for r in res])
@@ -574,10 +629,10 @@ class QAdamFusedPallas:
         scal, count = self._scalars(grads, state)
 
         def leaf(g, master, mu, nu, idx):
+            # SR streams: hash-mixed per (step, leaf) — the kernel adds
+            # program_id per grid step; deterministic given the count.
+            seed = _mix_seed(count, idx)
             if leaf_eligible(master):
-                # SR streams: distinct per (step, leaf, grid step) — the
-                # kernel adds program_id; deterministic given the count.
-                seed = count * jnp.int32(1000003) + jnp.int32(idx * 8191)
                 return _leaf_apply_pallas(
                     g,
                     master,
@@ -605,6 +660,7 @@ class QAdamFusedPallas:
                 b2=self.b2,
                 eps=self.eps,
                 copy_dtype=compute_dtype,
+                seed=seed,
             )
 
         flat_g, treedef = jax.tree.flatten(grads)
