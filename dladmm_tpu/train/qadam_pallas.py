@@ -72,6 +72,18 @@ MIN_PALLAS_ELEMS = 1 << 16
 # jnp path; current model shapes top out at L=1000.
 MAX_PALLAS_LASTDIM = (12 << 20) // (60 * 128)  # = 1638
 
+# Dense moment formats: fmt -> (mu dtype, nu dtype, SR mu?, SR nu?).
+# "bfloat16_sr_mu" is the round-5 mixed format: SR-bf16 mu + fp32 nu —
+# the flagship SR quality gap (-0.20 dB, BASELINE.md round-4) was
+# hypothesized to live in nu's sub-ULP EMA updates, so nu keeps fp32
+# while mu takes the 2x byte cut. int8 is handled by its own kernel.
+_DENSE_FMTS = {
+    "float32": (jnp.float32, jnp.float32, False, False),
+    "bfloat16": (jnp.bfloat16, jnp.bfloat16, False, False),
+    "bfloat16_sr": (jnp.bfloat16, jnp.bfloat16, True, True),
+    "bfloat16_sr_mu": (jnp.bfloat16, jnp.float32, True, False),
+}
+
 
 def _in8_decode(codes, scale):
     c = codes.astype(jnp.float32) * (1.0 / 127.0)
@@ -163,15 +175,23 @@ def _make_kernel_int8(b1, b2, eps, emit_copy, copy_dtype, cr):
     return kernel
 
 
-def _make_kernel_dense(b1, b2, eps, emit_copy, copy_dtype, mom_dtype, sr=False):
-    """sr=True stores the bf16 moments with STOCHASTIC rounding from
-    the on-core PRNG — unbiased EMA writes at VPU cost (the XLA-side SR
+def _make_kernel_dense(
+    b1, b2, eps, emit_copy, copy_dtype, mu_dtype, nu_dtype,
+    sr_mu=False, sr_nu=False,
+):
+    """sr_mu/sr_nu store that moment with STOCHASTIC rounding from the
+    on-core PRNG — unbiased EMA writes at VPU cost (the XLA-side SR
     variant pays +2.6 ms/step for threefry bits; the hardware PRNG is
     ~free where the sweep is bandwidth-bound). Takes an extra SMEM seed
-    input, re-seeded per grid step for independent streams."""
+    input when any SR is on, re-seeded per grid step for distinct
+    streams. Per-moment dtypes support the mixed format ("bfloat16_sr_mu"
+    = SR-bf16 mu + fp32 nu): nu's EMA updates are (1-b2)=0.1% relative —
+    BELOW one bf16 ULP — so nu is where the measured SR quality tail
+    lives, while mu's 10%-scale updates tolerate bf16 fine."""
+    any_sr = sr_mu or sr_nu
 
     def kernel(scal_ref, *refs):
-        if sr:
+        if any_sr:
             seed_ref, g_ref, master_ref, mu_ref, nu_ref, *outs = refs
             pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
         else:
@@ -188,24 +208,20 @@ def _make_kernel_dense(b1, b2, eps, emit_copy, copy_dtype, mom_dtype, sr=False):
         master_o[:] = new_master
         if emit_copy:
             rest[0][:] = new_master.astype(copy_dtype)
-        if sr:
-            mu_o[:] = pltpu.stochastic_round(
-                mu,
+
+        def store(x, dt, sr):
+            if not sr:
+                return x.astype(dt)
+            return pltpu.stochastic_round(
+                x,
                 pltpu.bitcast(
-                    pltpu.prng_random_bits(mu.shape), jnp.uint32
+                    pltpu.prng_random_bits(x.shape), jnp.uint32
                 ),
-                target_dtype=mom_dtype,
+                target_dtype=dt,
             )
-            nu_o[:] = pltpu.stochastic_round(
-                nu,
-                pltpu.bitcast(
-                    pltpu.prng_random_bits(nu.shape), jnp.uint32
-                ),
-                target_dtype=mom_dtype,
-            )
-        else:
-            mu_o[:] = mu.astype(mom_dtype)
-            nu_o[:] = nu.astype(mom_dtype)
+
+        mu_o[:] = store(mu, mu_dtype, sr_mu)
+        nu_o[:] = store(nu, nu_dtype, sr_nu)
 
     return kernel
 
@@ -292,7 +308,7 @@ def _leaf_apply_pallas(
 ):
     """Fused apply for one eligible leaf (natural (R, last) view).
     Returns (master', copy'|None, mu', nu') with mu/nu stored."""
-    if fmt == "bfloat16_sr" and interpret:
+    if fmt in ("bfloat16_sr", "bfloat16_sr_mu") and interpret:
         # The Mosaic PRNG primitives have no CPU-interpret lowering;
         # emulate with the XLA-side stochastic rounder (different RNG
         # stream, same distributional semantics — CPU runs are tests,
@@ -312,7 +328,8 @@ def _leaf_apply_pallas(
             copy_dtype=copy_dtype,
         )
         kmu, knu = jax.random.split(jax.random.PRNGKey(seed))
-        return m2, copy, sr_bfloat16(mu_f, kmu), sr_bfloat16(nu_f, knu)
+        nu_s = nu_f if fmt == "bfloat16_sr_mu" else sr_bfloat16(nu_f, knu)
+        return m2, copy, sr_bfloat16(mu_f, kmu), nu_s
     compiler_params = (
         pltpu.CompilerParams(dimension_semantics=(dims,)) if dims else None
     )
@@ -380,14 +397,14 @@ def _leaf_apply_pallas(
         mu_n = QTensor(mu_c, _pack_scale(mu_s, spr))
         nu_n = QTensor(nu_c, _pack_scale(nu_s, spr))
     else:
-        sr = fmt == "bfloat16_sr"
-        mom_dtype = jnp.float32 if fmt == "float32" else jnp.bfloat16
+        mu_dt, nu_dt, sr_mu, sr_nu = _DENSE_FMTS[fmt]
         kern = _make_kernel_dense(
-            b1, b2, eps, emit_copy, copy_dtype, mom_dtype, sr=sr
+            b1, b2, eps, emit_copy, copy_dtype, mu_dt, nu_dt,
+            sr_mu=sr_mu, sr_nu=sr_nu,
         )
         operands = [scal]
         in_specs = [smem]
-        if sr:
+        if sr_mu or sr_nu:
             operands.append(
                 jnp.asarray(seed, jnp.int32).reshape(1, 1)
             )
@@ -409,8 +426,8 @@ def _leaf_apply_pallas(
             out_specs=[row, row, row] + [row] * emit_copy,
             out_shape=[
                 jax.ShapeDtypeStruct((R, L), jnp.float32),
-                jax.ShapeDtypeStruct((R, L), mom_dtype),
-                jax.ShapeDtypeStruct((R, L), mom_dtype),
+                jax.ShapeDtypeStruct((R, L), mu_dt),
+                jax.ShapeDtypeStruct((R, L), nu_dt),
             ]
             + copy_shape,
             interpret=interpret,
@@ -449,11 +466,12 @@ def _leaf_apply_jnp(
     copy = None if copy_dtype is None else new_master.astype(copy_dtype)
     if fmt == "int8":
         mu_n, nu_n = quantize_q8(mu_f), quantize_q8(nu_f)
-    elif fmt == "bfloat16_sr":
+    elif fmt in ("bfloat16_sr", "bfloat16_sr_mu"):
         from dladmm_tpu.train.qmoments import sr_bfloat16
 
         kmu, knu = jax.random.split(jax.random.PRNGKey(seed))
-        mu_n, nu_n = sr_bfloat16(mu_f, kmu), sr_bfloat16(nu_f, knu)
+        mu_n = sr_bfloat16(mu_f, kmu)
+        nu_n = nu_f if fmt == "bfloat16_sr_mu" else sr_bfloat16(nu_f, knu)
     else:
         dt = jnp.float32 if fmt == "float32" else jnp.bfloat16
         mu_n, nu_n = mu_f.astype(dt), nu_f.astype(dt)
@@ -487,36 +505,37 @@ class QAdamFusedPallas:
             "float32",
             "bfloat16",
             "bfloat16_sr",
+            "bfloat16_sr_mu",
             "int8",
         ):
             raise ValueError(
-                "moment_fmt must be float32|bfloat16|bfloat16_sr|int8, "
-                f"got {self.moment_fmt!r}"
+                "moment_fmt must be float32|bfloat16|bfloat16_sr|"
+                f"bfloat16_sr_mu|int8, got {self.moment_fmt!r}"
             )
 
     # -- optax-compatible surface ---------------------------------------
 
-    def _enc_zero(self, p):
+    def _enc_zero(self, p, moment="mu"):
         """Fresh zero moment for one leaf, in the stored format. int8
         eligible leaves use the per-ROW codec on the (R, last) view —
         the geometry the kernel's state keeps (leaf_eligible); others
-        use the flat-256 codec."""
+        use the flat-256 codec. The mixed "bfloat16_sr_mu" format stores
+        mu bf16 and nu fp32 (_DENSE_FMTS)."""
         z = jnp.zeros(p.shape, jnp.float32)
         if self.moment_fmt == "int8":
             if leaf_eligible(p):
                 return quantize_rows(z.reshape(-1, p.shape[-1]))
             return quantize_q8(z)
-        if self.moment_fmt in ("bfloat16", "bfloat16_sr"):
-            return z.astype(jnp.bfloat16)
-        return z
+        dt = _DENSE_FMTS[self.moment_fmt][0 if moment == "mu" else 1]
+        return z.astype(dt)
 
     def init(self, params):
         # Fresh arrays per call of _enc_zero: mu and nu must NOT alias
         # the same buffers (donating jits would donate one twice).
         return QMomentsState(
             count=jnp.zeros((), jnp.int32),
-            mu=jax.tree.map(self._enc_zero, params),
-            nu=jax.tree.map(self._enc_zero, params),
+            mu=jax.tree.map(lambda p: self._enc_zero(p, "mu"), params),
+            nu=jax.tree.map(lambda p: self._enc_zero(p, "nu"), params),
             key=None,
         )
 
@@ -580,7 +599,7 @@ class QAdamFusedPallas:
                 nu_n = quantize_rows(nu_f.reshape(-1, L))
             elif self.moment_fmt == "int8":
                 mu_n, nu_n = quantize_q8(mu_f), quantize_q8(nu_f)
-            elif self.moment_fmt == "bfloat16_sr":
+            elif self.moment_fmt in ("bfloat16_sr", "bfloat16_sr_mu"):
                 # Honor the SR semantics the caller selected (unbiased
                 # EMA writes) on the generic path too — via the XLA-side
                 # stochastic rounder, seeded from (count, leaf). Slower
@@ -594,7 +613,12 @@ class QAdamFusedPallas:
                 kmu, knu = jax.random.split(
                     jax.random.PRNGKey(_mix_seed(count, idx))
                 )
-                mu_n, nu_n = sr_bfloat16(mu_f, kmu), sr_bfloat16(nu_f, knu)
+                mu_n = sr_bfloat16(mu_f, kmu)
+                nu_n = (
+                    nu_f
+                    if self.moment_fmt == "bfloat16_sr_mu"
+                    else sr_bfloat16(nu_f, knu)
+                )
             else:
                 dt = (
                     jnp.float32

@@ -83,6 +83,7 @@ def main():
         "float32_pallas",
         "bfloat16_pallas",
         "bfloat16_sr_pallas",
+        "bfloat16_sr_mu_pallas",
         "int8_pallas",
     )
     # Comma-separated arm filter, e.g. DLADMM_AB_ARMS=int8_pallas,float32

@@ -230,7 +230,13 @@ def main() -> int:
     qgrads = jax.tree.map(
         lambda v: 0.1 * jnp.sin(v * 3.0), qparams
     )
-    for fmt in ("float32", "bfloat16", "bfloat16_sr", "int8"):
+    for fmt in (
+        "float32",
+        "bfloat16",
+        "bfloat16_sr",
+        "bfloat16_sr_mu",
+        "int8",
+    ):
         opt = QAdamFusedPallas(
             1e-3, moment_fmt=fmt, clip_norm=1.0, interpret=False
         )
@@ -250,6 +256,36 @@ def main() -> int:
             p_ref["w"].astype(jnp.bfloat16).astype(jnp.float32),
             1e-6,
         )
+
+    # ZeRO-1 x fused sweep (round 5): the kernel on the 1/D flat shard's
+    # (rows, 256) view INSIDE shard_map — gates the Mosaic compile of
+    # that composition on hardware (D=1 on the single chip; the
+    # multi-shard algebra is pinned on the virtual mesh by
+    # tests/test_moment_matrix.py).
+    print("[zero1-qadam]")
+    from dladmm_tpu.data.synthetic import make_batch, make_dictionary
+    from dladmm_tpu.models.unroll import init_dladmm_params
+    from dladmm_tpu.parallel import mesh as _pmesh
+    from dladmm_tpu.parallel.collectives import (
+        make_dp_zero1_state,
+        make_dp_zero1_train_step,
+    )
+
+    kz = jax.random.PRNGKey(7)
+    kA_z, kb_z = jax.random.split(kz)
+    A_z = make_dictionary(kA_z, 64, 128)
+    params_z = init_dladmm_params(A_z, K=4)
+    data_z = make_batch(kb_z, A_z, 32)
+    mesh_z = _pmesh.make_mesh(data=jax.device_count(), model=1)
+    opt_z = QAdamFusedPallas(1e-3, moment_fmt="int8", interpret=False)
+    st_z = make_dp_zero1_state(params_z, opt_z, mesh_z)
+    step_z = make_dp_zero1_train_step(
+        opt_z, mesh_z, clip_norm=1.0, donate=False
+    )
+    st_z, loss_z = step_z(st_z, A_z, data_z)
+    jax.block_until_ready(loss_z)
+    ok &= bool(jnp.isfinite(loss_z))
+    print(f"  zero1-qadam[int8] step: loss={float(loss_z):.6f}")
 
     print("PASS" if ok else "FAIL")
     return 0 if ok else 1

@@ -189,6 +189,7 @@ def test_fused_freeze_and_schedule():
     assert int(state.opt_state.count) == 4
 
 
+@pytest.mark.slow
 def test_fit_fused_integration_and_validation():
     """fit(optimizer='fused_adam') trains end-to-end; invalid combos
     raise with actionable messages."""

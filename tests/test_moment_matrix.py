@@ -37,7 +37,13 @@ from dladmm_tpu.train.loop import make_train_state, make_train_step_from_batch
 from dladmm_tpu.train.qadam_pallas import QAdamFusedPallas
 from dladmm_tpu.train.qmoments import adam_qmoments
 
-FUSED_FMTS = ("float32", "bfloat16", "bfloat16_sr", "int8")
+FUSED_FMTS = (
+    "float32",
+    "bfloat16",
+    "bfloat16_sr",
+    "bfloat16_sr_mu",  # round-5 mixed: SR-bf16 mu + fp32 nu
+    "int8",
+)
 
 
 def _setup(m=16, n=64, K=4, S=16, seed=3):

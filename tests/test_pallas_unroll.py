@@ -25,7 +25,16 @@ def _setup(m, n, K, S, seed=0):
     return A, data, params
 
 
-@pytest.mark.parametrize("m,n,K,S", [(16, 32, 4, 8), (250, 500, 15, 64), (33, 77, 5, 13)])
+@pytest.mark.parametrize(
+    "m,n,K,S",
+    [
+        (16, 32, 4, 8),
+        # The real paper shape is the slow tier's job; the odd-shape
+        # param below covers the same tiling edge cases fast.
+        pytest.param(250, 500, 15, 64, marks=pytest.mark.slow),
+        (33, 77, 5, 13),
+    ],
+)
 def test_megakernel_forward_parity(m, n, K, S):
     A, data, params = _setup(m, n, K, S)
     fwd = make_unrolled_forward()

@@ -221,6 +221,7 @@ def test_nonneg_batch_generator(rng):
     )
 
 
+@pytest.mark.slow
 def test_fit_nonneg_preset_beats_ladmm_init():
     """Short fit() on the synthetic_nonneg preset shape: training must
     improve on the LADMM(nonneg) starting point, outputs must respect

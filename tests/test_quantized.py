@@ -59,6 +59,7 @@ def test_int8_tile_eligibility_beats_fp32():
     assert q.int8_tile_batch(8192, 16384, 8192, 64) is None
 
 
+@pytest.mark.slow
 def test_int8_server_megakernel_matches_auto():
     """InferenceServer(dtype='int8', kernel='megakernel') == the int8
     XLA-scan server on every bucket (same quantized math)."""

@@ -415,6 +415,7 @@ def test_sharded_server_matches_single_device():
         )
 
 
+@pytest.mark.slow
 def test_sharded_server_general_b_and_int8():
     from dladmm_tpu.serve import ShardedInferenceServer
 

@@ -178,6 +178,7 @@ def test_forward_parity_torch_vs_jax():
     np.testing.assert_allclose(np.asarray(lj), lt.numpy(), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_cli_export_then_import(tmp_path, capsys):
     """run.py --export-torch / --import-torch round-trip: the warm-started
     run must start from the exported net, not the LADMM init."""

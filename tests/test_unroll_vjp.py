@@ -118,7 +118,9 @@ def test_manual_vjp_trains_identically():
         )
 
 
-@pytest.mark.parametrize("d", [12, 16])
+@pytest.mark.parametrize(
+    "d", [12, pytest.param(16, marks=pytest.mark.slow)]
+)
 def test_general_B_manual_vjp_matches_autodiff(d):
     """dladmm_unroll_manual_general (VERDICT r2 #9): the reverse-scan
     backward with the (Ax, Bz) carry must reproduce jax.grad through the
