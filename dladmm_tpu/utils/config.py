@@ -157,6 +157,10 @@ PRESETS = {
     # clipped, DEEP SUPERVISION (round 2: -17.5 dB / residual 0.020 vs
     # -16.5 / 0.036 with the final-layer loss; LADMM is -10.8 at K=15);
     # ~1 s of device time.
+    # moment_dtype="int8_pallas" shipped default since round 5: seed-
+    # replicated quality parity with fp32 moments at BOTH synthetic
+    # shapes (3 seeds each — BASELINE.md round-5 table) at 4x smaller
+    # optimizer moment state and a slightly faster clipped step.
     "synthetic_small": Config(
         name="synthetic_small",
         problem=ProblemConfig(m=250, n=500, K=15),
@@ -168,6 +172,7 @@ PRESETS = {
             clip_norm=1.0,
             eval_every=1000,
             layer_loss="uniform",
+            moment_dtype="int8_pallas",
         ),
     ),
     # BASELINE.json:8 — single-chip MXU saturation case. Deep
@@ -186,6 +191,7 @@ PRESETS = {
             clip_norm=1.0,
             eval_every=1000,
             layer_loss="uniform",
+            moment_dtype="int8_pallas",  # see synthetic_small note
         ),
     ),
     # General-constraint config: Ax + Bz = b with a NON-identity z
