@@ -46,6 +46,13 @@ def main(argv=None) -> int:
         "reduce-scatter/all-gather pair and the flat moment shards "
         "span both hosts (data-only mesh)",
     )
+    ap.add_argument(
+        "--moment-dtype",
+        default="float32",
+        help="TrainConfig.moment_dtype; with --zero1 and a *_pallas "
+        "value each host's 1/D moment shard runs the fused optimizer "
+        "sweep (interpret mode on CPU) — the round-5 composition",
+    )
     args = ap.parse_args(argv)
 
     # Set (or raise) the virtual-device-count flag without duplicating
@@ -96,6 +103,7 @@ def main(argv=None) -> int:
             optimizer=args.optimizer,
             clip_norm=1.0 if (fused or args.zero1) else None,
             clip_mode="delayed" if fused else "global",
+            moment_dtype=args.moment_dtype,
         ),
         sharding=ShardingConfig(
             data_axis=(n_local * args.num_processes) // model_axis,

@@ -246,6 +246,38 @@ def test_qadam_update_bfloat16_sr_is_stochastic_not_rtn():
     assert abs(float(mu.mean()) - true) < 0.001 * abs(true)
 
 
+@pytest.mark.slow
+def test_fit_sharded_zero1_int8_pallas_resume(tmp_path):
+    """ZeRO-1 x fused-int8 sharded checkpointing: the row-sharded
+    QTensor optimizer state round-trips through orbax's sharding-
+    carrying templates and the resumed run reproduces the cold run."""
+    from dladmm_tpu.train.loop import fit_sharded
+    from dladmm_tpu.utils.config import (
+        Config,
+        ProblemConfig,
+        ShardingConfig,
+        TrainConfig,
+    )
+
+    cfg = Config(
+        name="z1q",
+        problem=ProblemConfig(m=16, n=32, K=3),
+        train=TrainConfig(
+            batch=32, steps=20, lr=1e-3, clip_norm=1.0, eval_every=10,
+            eval_batch=32, moment_dtype="int8_pallas",
+        ),
+        sharding=ShardingConfig(data_axis=4, zero1=True),
+    )
+    ck = str(tmp_path / "ck")
+    params_cold, hist_cold = fit_sharded(cfg, ckpt_dir=ck)
+    params_res, hist_res = fit_sharded(cfg, ckpt_dir=ck, resume=True)
+    assert hist_res[-1]["nmse_db"] == pytest.approx(
+        hist_cold[-1]["nmse_db"], abs=1e-6
+    )
+    for a, b in zip(params_cold, params_res):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_fit_general_b_with_fused_qadam_smoke():
     """General-B x moment_dtype='int8_pallas' (VERDICT r4 stretch #9):
     leaf shapes are generic, so the fused sweep composes with the

@@ -111,3 +111,23 @@ def test_two_process_multihost_zero1():
     assert result["processes"] == 2
     assert result["mesh"] == "8x1"
     assert result["improved"], result
+
+
+@pytest.mark.slow
+def test_two_process_multihost_zero1_fused_qadam():
+    """Round 5: ZeRO-1 x the fused int8 optimizer sweep cross-process —
+    each host's 1/D flat moment slice runs the one-HBM-pass kernel on
+    its (rows, 256) view (interpret mode on CPU), reduce-scatter and
+    all-gather spanning the real 2-process Gloo mesh."""
+    result = _run_pair(
+        _free_port(),
+        [
+            "--steps=40",
+            "--zero1",
+            "--compute-dtype=bfloat16",
+            "--moment-dtype=int8_pallas",
+        ],
+    )
+    assert result["processes"] == 2
+    assert result["mesh"] == "8x1"
+    assert result["improved"], result
