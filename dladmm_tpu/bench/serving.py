@@ -102,6 +102,23 @@ def measure(m=250, n=500, K=15,
                     f"xla-scan prox_x={prox}",
                 )
             ]
+            # Round 5: the prox-templated megakernel (what serve.main's
+            # kernel='auto' now picks when a tile fits).
+            from dladmm_tpu.ops.pallas_unroll import (
+                make_unrolled_inference_prox,
+                unroll_tile_batch,
+            )
+
+            if unroll_tile_batch(m, n, m, S) is not None:
+                from dladmm_tpu.ops.prox import get_prox, prox_l1
+
+                pm = make_unrolled_inference_prox(get_prox(prox), prox_l1)
+                variants.append(
+                    (
+                        jax.jit(lambda b: pm(params, A, b)[:2]),
+                        f"megakernel prox_x={prox}",
+                    )
+                )
         else:
             forward_fn, desc = resolve_forward(m, n, m, S, kernel=kernel)
             variants = [(lambda b: forward_fn(params, A, b)[:2], desc)]

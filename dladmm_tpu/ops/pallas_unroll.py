@@ -50,6 +50,8 @@ def _unroll_kernel(
     *,
     matmul_dtype,
     k_axis: int = 0,
+    prox_x=None,
+    prox_z=None,
 ):
     # k_axis=1 is the tile-outer 2D grid (n_tiles, K): batch tiles are
     # independent solves, so the tile axis goes OUTER — each tile's
@@ -80,14 +82,23 @@ def _unroll_kernel(
     b = b_ref[:]
     base = z - b + lam * (1.0 / beta)
     u = ax_ref[:] + base
-    th1 = jnp.maximum(th1_ref[0], 0.0)
     p1 = x_ref[:] - dot_t(u, w1_ref[0])
-    x1 = jnp.sign(p1) * jnp.maximum(jnp.abs(p1) - th1, 0.0)
+    if prox_x is None:  # l1 shrink, the reference fast path
+        th1 = jnp.maximum(th1_ref[0], 0.0)
+        x1 = jnp.sign(p1) * jnp.maximum(jnp.abs(p1) - th1, 0.0)
+    else:
+        # General prox (ops/prox.py): pure elementwise / row-wise jnp,
+        # traced straight into the kernel body; the prox clamps theta
+        # itself (matching the XLA-scan step's semantics).
+        x1 = prox_x(p1, th1_ref[0])
     ax1 = dot_t(x1, a_mat_ref[:])
     v = ax1 + base
-    th2 = jnp.maximum(th2_ref[0], 0.0)
     p2 = z - dot_t(v, w2_ref[0])
-    z1 = jnp.sign(p2) * jnp.maximum(jnp.abs(p2) - th2, 0.0)
+    if prox_z is None:
+        th2 = jnp.maximum(th2_ref[0], 0.0)
+        z1 = jnp.sign(p2) * jnp.maximum(jnp.abs(p2) - th2, 0.0)
+    else:
+        z1 = prox_z(p2, th2_ref[0])
     x_ref[:] = x1.astype(x_ref.dtype)
     z_ref[:] = z1.astype(z_ref.dtype)
     lam_ref[:] = (lam + beta * (ax1 + z1 - b)).astype(lam_ref.dtype)
@@ -168,6 +179,8 @@ def _unrolled_forward_pallas(
     *,
     matmul_dtype,
     interpret: bool,
+    prox_x=None,
+    prox_z=None,
 ):
     K, n, m = params.W1.shape
     d = params.W2.shape[1]
@@ -216,7 +229,11 @@ def _unrolled_forward_pallas(
 
     x, z, lam, _ = pl.pallas_call(
         functools.partial(
-            _unroll_kernel, matmul_dtype=matmul_dtype, k_axis=k_axis
+            _unroll_kernel,
+            matmul_dtype=matmul_dtype,
+            k_axis=k_axis,
+            prox_x=prox_x,
+            prox_z=prox_z,
         ),
         grid=grid,
         in_specs=[
@@ -514,6 +531,40 @@ def make_unrolled_trajectory(
 
     trajectory.defvjp(fwd, bwd)
     return trajectory
+
+
+def make_unrolled_inference_prox(
+    prox_x,
+    prox_z,
+    matmul_dtype=None,
+    interpret: Optional[bool] = None,
+):
+    """INFERENCE-ONLY whole-unroll megakernel with a general prox pair
+    (ops/prox.py callables) in place of the l1 shrink — round 5: a
+    trained synthetic_nonneg / elastic_net / box / group_l2 net serves
+    at megakernel speed instead of paying the XLA-scan path (the prox
+    bodies are pure elementwise / row-wise jnp, traced straight into
+    the kernel; same one-HBM-pass streaming as the l1 kernel).
+
+    B = I only, no custom_vjp: training through a general prox keeps
+    the XLA scan + autodiff (loss_fn's routing) — the backward kernels
+    hand-write the l1 shrink mask and do not generalize. Parity with
+    the scan forward is pinned by tests/test_pallas_unroll.py."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    def forward(params, A, b):
+        return _unrolled_forward_pallas(
+            params,
+            A,
+            b,
+            matmul_dtype=matmul_dtype,
+            interpret=interpret,
+            prox_x=prox_x,
+            prox_z=prox_z,
+        )
+
+    return forward
 
 
 def make_unrolled_forward(matmul_dtype=None, interpret: Optional[bool] = None):

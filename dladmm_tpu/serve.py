@@ -78,6 +78,7 @@ class InferenceServer:
         layers: Optional[int] = None,
         B: Optional[Array] = None,
         step_fn=None,
+        prox_pair=None,
     ):
         """dtype=jnp.bfloat16 serves in bf16 (params/A cast once at
         construction, requests cast per call): ~2x less HBM per solve.
@@ -107,10 +108,29 @@ class InferenceServer:
         over ops/prox.py operators) for solvers trained with non-l1
         prox_x/prox_z — served via the XLA-scan forward, like general B.
         A model trained under a non-l1 prox MUST be served with the same
-        step_fn, or the l1 shrink silently replaces the trained prox."""
+        step_fn, or the l1 shrink silently replaces the trained prox.
+
+        prox_pair: the (prox_x, prox_z) CALLABLES themselves (round 5) —
+        strictly better than step_fn when the prox is an ops/prox.py-
+        style elementwise pair: buckets whose tile fits VMEM serve
+        through the prox-templated whole-unroll megakernel
+        (ops/pallas_unroll.make_unrolled_inference_prox) at l1-megakernel
+        speed; over-VMEM buckets fall back to the XLA scan. Identity-B
+        only; serve.main passes it automatically for trained prox
+        configs."""
         params, A, B, self._quantized = _prep_serving(
             params, A, B, dtype, layers
         )
+        if prox_pair is not None:
+            if B is not None:
+                raise ValueError(
+                    "prox_pair requires identity B (the megakernel "
+                    "specializes B = I); pass step_fn for general B"
+                )
+            if step_fn is None:
+                from dladmm_tpu.ops.reference import make_cached_step
+
+                step_fn = make_cached_step(*prox_pair)
         if step_fn is not None:
             if self._quantized:
                 raise ValueError(
@@ -118,10 +138,16 @@ class InferenceServer:
                     "hard-codes the shrink); serve general-prox solvers "
                     "in float32 or bfloat16"
                 )
-            if kernel not in ("auto", "reference"):
+            allowed = (
+                ("auto", "reference", "megakernel")
+                if prox_pair is not None
+                else ("auto", "reference")
+            )
+            if kernel not in allowed:
                 raise ValueError(
-                    f"kernel={kernel!r} requires the l1/l1 instantiation; "
-                    "general-prox serving runs the XLA scan"
+                    f"kernel={kernel!r} does not apply to general-prox "
+                    f"serving (allowed here: {allowed}); the megakernel "
+                    "path needs the prox CALLABLES (prox_pair)"
                 )
         if self._quantized and kernel not in (
             "auto",
@@ -193,15 +219,39 @@ class InferenceServer:
                     params, A, jax.ShapeDtypeStruct((S, m), A.dtype)
                 ).compile()
             elif B is None:
-                # General prox, identity B: the XLA-scan forward with the
-                # trained prox pair baked into the layer step.
-                from dladmm_tpu.models.unroll import dladmm_forward
+                # General prox, identity B: the prox-templated megakernel
+                # where a tile fits VMEM (round 5 — l1-megakernel speed
+                # for the trained prox), else the XLA-scan forward with
+                # the prox pair baked into the layer step.
+                from dladmm_tpu.ops.pallas_unroll import unroll_tile_batch
 
-                fn = jax.jit(
-                    lambda p, A_, b_: dladmm_forward(
-                        p, A_, b_, step_fn=step_fn
-                    )[:2]
+                use_mega = (
+                    prox_pair is not None
+                    and kernel in ("auto", "megakernel")
+                    and unroll_tile_batch(m, n, d, S) is not None
                 )
+                if kernel == "megakernel" and not use_mega:
+                    raise ValueError(
+                        f"no prox megakernel tile fits VMEM at bucket {S} "
+                        f"(m={m}, n={n}); use kernel='auto'"
+                    )
+                if use_mega:
+                    from dladmm_tpu.ops.pallas_unroll import (
+                        make_unrolled_inference_prox,
+                    )
+
+                    mega = make_unrolled_inference_prox(*prox_pair)
+                    fn = jax.jit(
+                        lambda p, A_, b_, _f=mega: _f(p, A_, b_)[:2]
+                    )
+                else:
+                    from dladmm_tpu.models.unroll import dladmm_forward
+
+                    fn = jax.jit(
+                        lambda p, A_, b_: dladmm_forward(
+                            p, A_, b_, step_fn=step_fn
+                        )[:2]
+                    )
                 self._compiled[S] = fn.lower(
                     params, A, jax.ShapeDtypeStruct((S, m), A.dtype)
                 ).compile()
@@ -287,6 +337,7 @@ class ShardedInferenceServer:
         layers: Optional[int] = None,
         B: Optional[Array] = None,
         step_fn=None,
+        prox_pair=None,
     ):
         from jax.sharding import NamedSharding
         from jax.sharding import PartitionSpec as P
@@ -309,16 +360,32 @@ class ShardedInferenceServer:
         params, A, B, self._quantized = _prep_serving(
             params, A, B, dtype, layers
         )
+        if prox_pair is not None:
+            if B is not None:
+                raise ValueError(
+                    "prox_pair requires identity B (the megakernel "
+                    "specializes B = I); pass step_fn for general B"
+                )
+            if step_fn is None:
+                from dladmm_tpu.ops.reference import make_cached_step
+
+                step_fn = make_cached_step(*prox_pair)
         if step_fn is not None:
             if self._quantized:
                 raise ValueError(
                     "dtype='int8' serving is l1/l1-only; serve "
                     "general-prox solvers in float32 or bfloat16"
                 )
-            if kernel not in ("auto", "reference"):
+            allowed = (
+                ("auto", "reference", "megakernel")
+                if prox_pair is not None
+                else ("auto", "reference")
+            )
+            if kernel not in allowed:
                 raise ValueError(
-                    f"kernel={kernel!r} requires the l1/l1 instantiation; "
-                    "general-prox serving runs the XLA scan"
+                    f"kernel={kernel!r} does not apply to general-prox "
+                    f"serving (allowed here: {allowed}); the megakernel "
+                    "path needs the prox CALLABLES (prox_pair)"
                 )
         m, n = A.shape
         d = params.W2.shape[1]
@@ -424,14 +491,39 @@ class ShardedInferenceServer:
                     ),
                 ).compile()
             elif B is None:
-                from dladmm_tpu.models.unroll import dladmm_forward
+                # Per-chip policy at the local rows, like the l1 path:
+                # prox megakernel where a tile fits, else the XLA scan.
+                from dladmm_tpu.ops.pallas_unroll import unroll_tile_batch
 
-                fn = _sharded(
-                    lambda p, A_, b_: dladmm_forward(
-                        p, A_, b_, step_fn=step_fn
-                    )[:2],
-                    3,
+                use_mega = (
+                    prox_pair is not None
+                    and kernel in ("auto", "megakernel")
+                    and unroll_tile_batch(m, n, d, Sl) is not None
                 )
+                if kernel == "megakernel" and not use_mega:
+                    raise ValueError(
+                        f"no prox megakernel tile fits VMEM at the "
+                        f"per-chip rows {Sl} (bucket {S} / T={T}); use "
+                        "kernel='auto'"
+                    )
+                if use_mega:
+                    from dladmm_tpu.ops.pallas_unroll import (
+                        make_unrolled_inference_prox,
+                    )
+
+                    mega = make_unrolled_inference_prox(*prox_pair)
+                    fn = _sharded(
+                        lambda p, A_, b_, _f=mega: _f(p, A_, b_)[:2], 3
+                    )
+                else:
+                    from dladmm_tpu.models.unroll import dladmm_forward
+
+                    fn = _sharded(
+                        lambda p, A_, b_: dladmm_forward(
+                            p, A_, b_, step_fn=step_fn
+                        )[:2],
+                        3,
+                    )
                 self._compiled[S] = fn.lower(
                     self.params,
                     self.A,
@@ -772,10 +864,15 @@ def main(argv=None) -> int:
                 f"--dtype=int8 is l1/l1-only; config {args.config!r} "
                 f"trains prox {cfg.problem.prox_x}/{cfg.problem.prox_z}"
             )
-        if args.kernel not in ("auto", "reference"):
+        if args.kernel == "pallas":
+            # The per-layer fused kernel is l1-only; the whole-unroll
+            # megakernel is prox-templated since round 5 (prox_pair
+            # below), so "auto"/"megakernel"/"reference" all apply.
             ap.error(
                 f"--kernel={args.kernel} is l1/l1-only; general-prox "
-                "serving runs the XLA scan (use --kernel=auto)"
+                "serving uses the prox-templated megakernel "
+                "(--kernel=auto or megakernel) or the XLA scan "
+                "(--kernel=reference)"
             )
         step_fn = make_cached_step(*prox)
     if args.ckpt_dir:
@@ -834,6 +931,9 @@ def main(argv=None) -> int:
         layers=args.layers,
         B=B,
         step_fn=step_fn,
+        # Identity-B trained-prox configs get the prox-templated
+        # megakernel (round 5); general-B keeps the scan via step_fn.
+        prox_pair=prox if (prox is not None and B is None) else None,
     )
     build_s = time.monotonic() - t_build
 

@@ -287,6 +287,27 @@ def main() -> int:
     ok &= bool(jnp.isfinite(loss_z))
     print(f"  zero1-qadam[int8] step: loss={float(loss_z):.6f}")
 
+    # Prox-templated inference megakernel (round 5): each ops/prox.py
+    # operator traced into the whole-unroll kernel — gates the Mosaic
+    # compile of the non-l1 elementwise bodies and group_l2's in-kernel
+    # row reduction; parity target is the XLA scan with the same prox.
+    print("[prox-mega]")
+    from dladmm_tpu.ops.pallas_unroll import make_unrolled_inference_prox
+    from dladmm_tpu.ops.prox import get_prox, prox_l1
+    from dladmm_tpu.ops.reference import make_cached_step
+
+    for prox_name in ("nonneg_l1", "box", "group_l2", "elastic_net"):
+        px = get_prox(prox_name, rho=0.3)
+        mega_p = make_unrolled_inference_prox(px, prox_l1, interpret=False)
+        xp, zp, _ = jax.jit(mega_p)(params0, A0, data.b)
+        xr, zr, _ = jax.jit(
+            lambda p, a, bb, _s=make_cached_step(px, prox_l1): dladmm_forward(
+                p, a, bb, step_fn=_s
+            )
+        )(params0, A0, data.b)
+        ok &= check(f"prox-mega[{prox_name}] x", xp, xr, 1e-5)
+        ok &= check(f"prox-mega[{prox_name}] z", zp, zr, 1e-5)
+
     print("PASS" if ok else "FAIL")
     return 0 if ok else 1
 

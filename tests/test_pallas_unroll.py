@@ -46,6 +46,32 @@ def test_megakernel_forward_parity(m, n, K, S):
         )
 
 
+@pytest.mark.parametrize(
+    "prox_name", ["nonneg_l1", "box", "group_l2", "elastic_net"]
+)
+def test_prox_megakernel_matches_scan(prox_name):
+    """Round 5: the prox-templated inference megakernel == the XLA-scan
+    forward with the same prox pair baked into the layer step, for every
+    ops/prox.py operator (prox_x = named op, prox_z = l1 — the
+    synthetic_nonneg pairing; group_l2 exercises an in-kernel row
+    reduction)."""
+    from dladmm_tpu.ops.pallas_unroll import make_unrolled_inference_prox
+    from dladmm_tpu.ops.prox import get_prox, prox_l1
+    from dladmm_tpu.ops.reference import make_cached_step
+
+    m, n, K, S = 16, 32, 4, 8
+    A, data, params = _setup(m, n, K, S)
+    px = get_prox(prox_name, rho=0.3)
+    step_fn = make_cached_step(px, prox_l1)
+    fwd = make_unrolled_inference_prox(px, prox_l1)
+    out_p = fwd(params, A, data.b)
+    out_r = dladmm_forward(params, A, data.b, step_fn=step_fn)
+    for g, w in zip(out_p, out_r):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=1e-5, atol=1e-6
+        )
+
+
 def test_megakernel_grad_parity():
     A, data, params = _setup(24, 48, 5, 16)
     fwd = make_unrolled_forward()

@@ -158,13 +158,63 @@ def test_serve_general_prox_matches_forward():
     l1x, _ = InferenceServer(params, A, max_batch=16).solve(b)
     assert not np.allclose(np.asarray(l1x), np.asarray(x))
 
-    with pytest.raises(ValueError, match="l1/l1"):
+    # step_fn ALONE (opaque callable) cannot drive the megakernel — the
+    # kernel needs the prox callables (prox_pair, round 5).
+    with pytest.raises(ValueError, match="prox_pair"):
         InferenceServer(
             params, A, max_batch=16, step_fn=step_fn, kernel="megakernel"
         )
     with pytest.raises(ValueError, match="l1/l1"):
         InferenceServer(
             params, A, max_batch=16, step_fn=step_fn, dtype="int8"
+        )
+
+
+def test_serve_prox_pair_megakernel_matches_scan():
+    """Round 5: InferenceServer(prox_pair=...) serves through the
+    prox-templated whole-unroll megakernel where the tile fits — exact
+    match with the scan-path step_fn server, and the explicit
+    kernel='megakernel' request is honored."""
+    import numpy as np
+
+    from dladmm_tpu.data.synthetic import make_batch, make_dictionary
+    from dladmm_tpu.models.unroll import init_dladmm_params
+    from dladmm_tpu.ops.prox import get_prox
+    from dladmm_tpu.ops.reference import make_cached_step
+    from dladmm_tpu.serve import InferenceServer
+
+    m, n, K = 14, 28, 5
+    key = jax.random.PRNGKey(3)
+    kA, kb = jax.random.split(key)
+    A = make_dictionary(kA, m, n)
+    params = init_dladmm_params(A, K=K)
+    b = make_batch(kb, A, 5, nonneg_x=True).b
+    pair = (get_prox("nonneg_l1"), get_prox("l1"))
+    step_fn = make_cached_step(*pair)
+
+    mega_server = InferenceServer(
+        params, A, max_batch=16, prox_pair=pair, kernel="megakernel"
+    )
+    scan_server = InferenceServer(
+        params, A, max_batch=16, step_fn=step_fn, kernel="reference"
+    )
+    x_m, z_m = mega_server.solve(b)
+    x_s, z_s = scan_server.solve(b)
+    np.testing.assert_allclose(
+        np.asarray(x_m), np.asarray(x_s), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(z_m), np.asarray(z_s), rtol=1e-5, atol=1e-6
+    )
+    assert np.asarray(x_m).min() >= 0.0
+    # prox_pair composes with general B only via step_fn.
+    with pytest.raises(ValueError, match="identity B"):
+        InferenceServer(
+            params,
+            A,
+            max_batch=16,
+            prox_pair=pair,
+            B=jnp.ones((m, 4), jnp.float32),
         )
 
 
