@@ -87,18 +87,49 @@ class DLADMMSolver:
         object.__setattr__(self, "_prox_step_cache", step)
         return step
 
-    def _paths(self, S: int, need_trajectory: bool = False):
+    def _paths(
+        self, S: int, need_trajectory: bool = False, training: bool = False
+    ):
         step = self._prox_step()
         if step is not None:
-            if self.kernel in ("pallas", "megakernel"):
-                # Mirror run.py's guard: an explicit Pallas selection
-                # with a non-l1 prox would otherwise silently run the
-                # XLA-scan general step (ADVICE r3).
+            if self.kernel == "pallas":
+                # The per-layer fused kernel hand-writes the l1 shrink;
+                # an explicit selection must not silently run something
+                # else (ADVICE r3). The whole-unroll megakernel IS
+                # prox-templated since round 5 (below).
                 raise ValueError(
                     f"kernel={self.kernel!r} is l1/l1-only; prox "
-                    f"{self.prox_x}/{self.prox_z} runs the XLA scan "
-                    "(use kernel='auto' or 'reference')"
+                    f"{self.prox_x}/{self.prox_z} uses the prox "
+                    "megakernel (kernel='auto'/'megakernel') or the "
+                    "XLA scan (kernel='reference')"
                 )
+            if (
+                self.B is None
+                and not need_trajectory
+                and not training  # inference-only kernel: no custom_vjp
+                and self.kernel in ("auto", "megakernel")
+            ):
+                # Prox-templated inference megakernel (round 5): the
+                # trained prox served at l1-megakernel speed where a
+                # tile fits VMEM.
+                from dladmm_tpu.ops.pallas_unroll import (
+                    make_unrolled_inference_prox,
+                    unroll_tile_batch,
+                )
+                from dladmm_tpu.ops.prox import get_prox
+
+                m, n = self.A.shape
+                if unroll_tile_batch(m, n, m, S) is not None:
+                    fwd = make_unrolled_inference_prox(
+                        get_prox(self.prox_x, self.prox_rho),
+                        get_prox(self.prox_z, self.prox_rho),
+                    )
+                    return fwd, step, "prox-megakernel"
+                if self.kernel == "megakernel":
+                    raise ValueError(
+                        f"no prox megakernel tile fits VMEM at batch {S}"
+                        " ; use kernel='auto'"
+                    )
             return None, step, "xla-scan-general-prox"
         m, n = self.A.shape
         d = m if self.B is None else self.B.shape[1]
@@ -165,7 +196,7 @@ class DLADMMSolver:
         prox_x='nonneg_l1')."""
         from dladmm_tpu.train.loop import TrainState, make_train_step
 
-        forward_fn, step_fn, _ = self._paths(batch)
+        forward_fn, step_fn, _ = self._paths(batch, training=True)
         optimizer = optax.adam(lr)
         # donate=False: this solver's params pytree must stay alive.
         step = make_train_step(

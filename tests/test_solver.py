@@ -43,21 +43,32 @@ def test_solver_untrained_equals_ladmm():
     np.testing.assert_allclose(np.asarray(z), np.asarray(zl), rtol=2e-5, atol=1e-6)
 
 
-def test_solver_rejects_explicit_pallas_kernel_with_general_prox():
-    """ADVICE r3: an explicit Pallas kernel selection with a non-l1 prox
-    must raise (mirroring run.py) instead of silently running the
-    XLA-scan general step."""
+def test_solver_general_prox_kernel_semantics():
+    """ADVICE r3 / round 5: the per-layer 'pallas' kernel is l1-only and
+    must raise with a non-l1 prox; 'megakernel' is prox-templated since
+    round 5 and must match the XLA-scan ('reference') result exactly."""
     import pytest
 
     key = jax.random.PRNGKey(2)
     kA, kd = jax.random.split(key)
     A = make_dictionary(kA, 16, 32)
     data = make_batch(kd, A, 8)
-    for kernel in ("pallas", "megakernel"):
-        solver = DLADMMSolver.create(A, K=4, kernel=kernel, prox_x="nonneg_l1")
-        with pytest.raises(ValueError, match="l1/l1-only"):
-            solver.solve(data.b)
-    # auto with a general prox still works (runs the XLA scan).
+    solver = DLADMMSolver.create(A, K=4, kernel="pallas", prox_x="nonneg_l1")
+    with pytest.raises(ValueError, match="l1/l1-only"):
+        solver.solve(data.b)
+    x_mega, z_mega = DLADMMSolver.create(
+        A, K=4, kernel="megakernel", prox_x="nonneg_l1"
+    ).solve(data.b)
+    x_scan, z_scan = DLADMMSolver.create(
+        A, K=4, kernel="reference", prox_x="nonneg_l1"
+    ).solve(data.b)
+    np.testing.assert_allclose(
+        np.asarray(x_mega), np.asarray(x_scan), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(z_mega), np.asarray(z_scan), rtol=1e-5, atol=1e-6
+    )
+    # auto with a general prox works (prox megakernel where a tile fits).
     solver = DLADMMSolver.create(A, K=4, prox_x="nonneg_l1")
     x, _ = solver.solve(data.b)
     assert np.asarray(x).min() >= 0.0
