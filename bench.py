@@ -52,9 +52,10 @@ SOFT_BUDGET_S = 330.0
 # runs are far cheaper). A phase is skipped UPFRONT when the remaining
 # budget cannot cover its estimate — protecting the phases behind it.
 PHASE_EST_S = {
-    "paper_config": 80.0,
-    "deep_supervised": 65.0,
-    "qadam_int8": 65.0,
+    "paper_config": 70.0,
+    "deep_supervised": 55.0,
+    "qadam_int8": 55.0,
+    "straight_port": 95.0,
     "fused_adam": 65.0,
 }
 FUSED_ADAM_CANARY_EVERY = 3  # rounds
@@ -288,12 +289,57 @@ def main() -> int:
     t_fast = _chained_train_time(
         fast_step, make_train_state(params, optimizer, bf)
     )
+
     # Straight-port baseline: full fp32 matmuls + XLA autodiff (what a
     # naive port of the reference's fp32 cuBLAS pipeline does on TPU).
-    t_port = _chained_train_time(
-        make_step("float32", None, "xla"),
-        make_train_state(params, optimizer),
-    )
+    # Its COMPILE is the single most expensive item in a cold-cache
+    # capture (the r5 dry-run's headline pair alone ate 280 of 330 s and
+    # starved every tracked series), while its VALUE is the stablest
+    # number in the project (23.72/23.72/23.75 ms across r1/r3/r4). So:
+    # the headline is printed with the most recent measured port value,
+    # and the port re-measures as the LOWEST-priority budgeted phase —
+    # tracked series never lose their slot to a known constant.
+    def _prior_port_ms():
+        if _SMOKE or _PLATFORM:
+            return None  # prior captures are real-chip numbers
+        import glob
+
+        best = None
+        for p in sorted(glob.glob("BENCH_r*.json")):
+            try:
+                with open(p) as f:
+                    d = json.load(f).get("parsed") or {}
+                v = (d.get("detail") or {}).get(
+                    "straight_port_train_step_ms"
+                )
+            except Exception:
+                continue
+            if v:
+                best = (float(v), p)
+        try:
+            with open(_SELF_CAPTURE) as f:
+                rec = json.load(f)
+            v = (rec.get("detail") or {}).get("straight_port_train_step_ms")
+            if v:
+                best = (float(v), _SELF_CAPTURE)
+        except Exception:
+            pass
+        return best
+
+    prior_port = _prior_port_ms()
+    if prior_port is None:
+        # First-ever capture (or smoke mode): nothing to amortize.
+        t_port = _chained_train_time(
+            make_step("float32", None, "xla"),
+            make_train_state(params, optimizer),
+        )
+        port_ms, port_src = t_port * 1e3, "measured this capture"
+    else:
+        port_ms, src = prior_port
+        port_src = (
+            f"prior capture ({src}); re-measured below when budget "
+            "allows — stable to ~0.2% across rounds"
+        )
 
     value = K * S / t_fast
     headline = {
@@ -301,11 +347,12 @@ def main() -> int:
         "(A 1000x2000, batch 1024, K=20)",
         "value": round(value, 1),
         "unit": "layer_iter/s",
-        "vs_baseline": round(t_port / t_fast, 3),
+        "vs_baseline": round(port_ms / 1e3 / t_fast, 3),
     }
     detail = {
         "train_step_ms": round(t_fast * 1e3, 3),
-        "straight_port_train_step_ms": round(t_port * 1e3, 3),
+        "straight_port_train_step_ms": round(port_ms, 3),
+        "straight_port_source": port_src,
         "device": str(jax.devices()[0]),
         "timing": "device-chained, two-point calibrated, "
         "scalar-fetch synced",
@@ -473,15 +520,32 @@ def main() -> int:
         detail["paper_config_full_pallas_step_us"] = round(t_ref * 1e6, 1)
         detail["paper_config_layer_iter_per_s"] = round(K2 * S2 / t_ref, 1)
 
+    def phase_straight_port():
+        t_port = _chained_train_time(
+            make_step("float32", None, "xla"),
+            make_train_state(params, optimizer),
+        )
+        detail["straight_port_train_step_ms"] = round(t_port * 1e3, 3)
+        detail["straight_port_source"] = "measured this capture"
+        headline["vs_baseline"] = round(t_port / t_fast, 3)
+
     # Tracked round-over-round series first (paper_config, the shipped-
-    # default deep-supervised step, the round-4 qadam arm); the settled
-    # fused_adam rejection re-measures only on the canary cadence.
+    # default deep-supervised step, the round-4 qadam arm); then the
+    # amortized straight-port re-measurement; the settled fused_adam
+    # rejection re-measures only on the canary cadence.
     import glob as _glob
 
     round_no = len(_glob.glob("BENCH_r*.json")) + 1
     run_phase("paper_config", phase_paper_config)
     run_phase("deep_supervised", phase_deep_supervised)
     run_phase("qadam_int8", phase_qadam_int8)
+    if prior_port is not None:
+        run_phase("straight_port", phase_straight_port)
+        if "straight_port" in skipped:
+            # Not a lost series: the headline already carries the prior
+            # measured value (straight_port_source says so).
+            skipped.remove("straight_port")
+            detail["straight_port_amortized"] = True
     if round_no % FUSED_ADAM_CANARY_EVERY == 0:
         run_phase("fused_adam", phase_fused_adam)
     else:
