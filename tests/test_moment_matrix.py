@@ -278,6 +278,26 @@ def test_fit_sharded_zero1_int8_pallas_resume(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
+def test_fit_greedy_with_fused_qadam_smoke():
+    """fit_greedy routes through make_train_step, which calls
+    .fused_apply — the greedy path runs the kernel (stage prefixes below
+    MIN_PALLAS_ELEMS take the jnp fallback with identical math)."""
+    from dladmm_tpu.train.loop import fit_greedy
+    from dladmm_tpu.utils.config import Config, ProblemConfig, TrainConfig
+
+    cfg = Config(
+        name="gq",
+        problem=ProblemConfig(m=16, n=32, K=3),
+        train=TrainConfig(
+            batch=16, steps=12, eval_every=6, eval_batch=32,
+            moment_dtype="int8_pallas",
+        ),
+    )
+    params, hist = fit_greedy(cfg)
+    assert all(np.isfinite(h["loss"]) for h in hist)
+
+
 def test_fit_general_b_with_fused_qadam_smoke():
     """General-B x moment_dtype='int8_pallas' (VERDICT r4 stretch #9):
     leaf shapes are generic, so the fused sweep composes with the

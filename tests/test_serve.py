@@ -674,7 +674,9 @@ class TestServeCLI:
     ):
         """ADVICE r3 (medium): a model trained under a non-l1 prox must
         serve with that prox — the CLI's demo NMSE must match the final
-        training eval, and int8/megakernel must be rejected."""
+        training eval. int8 and the l1-only per-layer pallas kernel are
+        rejected; --kernel=megakernel serves through the round-5
+        prox-templated megakernel and must reproduce the same NMSE."""
         import dataclasses
         import json
 
@@ -709,6 +711,15 @@ class TestServeCLI:
             with pytest.raises(SystemExit):
                 main(base + ["--demo", "16", "--dtype=int8"])
             with pytest.raises(SystemExit):
-                main(base + ["--demo", "16", "--kernel=megakernel"])
+                main(base + ["--demo", "16", "--kernel=pallas"])
+            # Explicit megakernel: the prox-templated kernel serves the
+            # TRAINED prox at the same quality as the scan path.
+            assert main(base + ["--demo", "128", "--kernel=megakernel"]) == 0
+            out_mk = json.loads(
+                capsys.readouterr().out.strip().splitlines()[-1]
+            )
+            assert out_mk["nmse_db"] == pytest.approx(
+                history[-1]["nmse_db"], abs=0.05
+            )
         finally:
             del PRESETS["_nonneg_serve_test"]
