@@ -109,9 +109,12 @@ def measure(m=250, n=500, K=15,
                 unroll_tile_batch,
             )
 
-            if unroll_tile_batch(m, n, m, S) is not None:
-                from dladmm_tpu.ops.prox import get_prox, prox_l1
+            from dladmm_tpu.ops.prox import get_prox, kernel_exact, prox_l1
 
+            if (
+                kernel_exact(get_prox(prox))
+                and unroll_tile_batch(m, n, m, S) is not None
+            ):
                 pm = make_unrolled_inference_prox(get_prox(prox), prox_l1)
                 variants.append(
                     (

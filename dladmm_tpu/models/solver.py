@@ -116,19 +116,26 @@ class DLADMMSolver:
                     make_unrolled_inference_prox,
                     unroll_tile_batch,
                 )
-                from dladmm_tpu.ops.prox import get_prox
+                from dladmm_tpu.ops.prox import get_prox, kernel_exact
 
+                px = get_prox(self.prox_x, self.prox_rho)
+                pz = get_prox(self.prox_z, self.prox_rho)
                 m, n = self.A.shape
-                if unroll_tile_batch(m, n, m, S) is not None:
-                    fwd = make_unrolled_inference_prox(
-                        get_prox(self.prox_x, self.prox_rho),
-                        get_prox(self.prox_z, self.prox_rho),
-                    )
+                exact = kernel_exact(px) and kernel_exact(pz)
+                if exact and unroll_tile_batch(m, n, m, S) is not None:
+                    fwd = make_unrolled_inference_prox(px, pz)
                     return fwd, step, "prox-megakernel"
                 if self.kernel == "megakernel":
                     raise ValueError(
-                        f"no prox megakernel tile fits VMEM at batch {S}"
-                        " ; use kernel='auto'"
+                        "prox megakernel unavailable at batch "
+                        f"{S}: "
+                        + (
+                            "this prox is not kernel-exact on TPU "
+                            "(ops/prox.py group_l2 note)"
+                            if not exact
+                            else "no tile fits VMEM"
+                        )
+                        + "; use kernel='auto'"
                     )
             return None, step, "xla-scan-general-prox"
         m, n = self.A.shape

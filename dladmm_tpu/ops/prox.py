@@ -101,6 +101,14 @@ def make_prox_elastic_net(rho: float) -> ProxFn:
     return prox
 
 
+# Measured on chip (round 5, verify_tpu [prox-mega]): every elementwise
+# prox is BIT-EXACT between the prox-templated Pallas megakernel and the
+# XLA scan, but group_l2's row-norm deviates by ~5e-4..2e-3 relative —
+# Mosaic lowers the sqrt/divide chain with a different approximation
+# than XLA. Serving therefore keeps the XLA scan for group_l2 (the flag
+# below); the deviation is a numerics difference, not a bug in either.
+prox_group_l2.kernel_exact_on_tpu = False
+
 _REGISTRY = {
     "l1": lambda rho: prox_l1,
     "nonneg_l1": lambda rho: prox_nonneg_l1,
@@ -108,6 +116,14 @@ _REGISTRY = {
     "box": lambda rho: prox_box,
     "group_l2": lambda rho: prox_group_l2,
 }
+
+
+def kernel_exact(prox_fn) -> bool:
+    """True when the prox's megakernel output is bit-exact vs the XLA
+    scan on TPU (see the group_l2 note above) — the condition the
+    serving paths require before routing a trained prox through
+    ops/pallas_unroll.make_unrolled_inference_prox."""
+    return getattr(prox_fn, "kernel_exact_on_tpu", True)
 
 PROX_NAMES = tuple(sorted(_REGISTRY))
 
@@ -138,6 +154,7 @@ __all__ = [
     "PROX_NAMES",
     "get_prox",
     "is_l1",
+    "kernel_exact",
     "prox_l1",
     "prox_nonneg_l1",
     "prox_box",

@@ -224,16 +224,27 @@ class InferenceServer:
                 # for the trained prox), else the XLA-scan forward with
                 # the prox pair baked into the layer step.
                 from dladmm_tpu.ops.pallas_unroll import unroll_tile_batch
+                from dladmm_tpu.ops.prox import kernel_exact
 
+                exact = prox_pair is not None and all(
+                    kernel_exact(f) for f in prox_pair
+                )
                 use_mega = (
-                    prox_pair is not None
+                    exact
                     and kernel in ("auto", "megakernel")
                     and unroll_tile_batch(m, n, d, S) is not None
                 )
                 if kernel == "megakernel" and not use_mega:
                     raise ValueError(
-                        f"no prox megakernel tile fits VMEM at bucket {S} "
-                        f"(m={m}, n={n}); use kernel='auto'"
+                        "prox megakernel unavailable at bucket "
+                        f"{S} (m={m}, n={n}): "
+                        + (
+                            "this prox is not kernel-exact on TPU "
+                            "(group_l2's row norm — ops/prox.py note)"
+                            if prox_pair is not None and not exact
+                            else "no tile fits VMEM"
+                        )
+                        + "; use kernel='auto'"
                     )
                 if use_mega:
                     from dladmm_tpu.ops.pallas_unroll import (
@@ -494,17 +505,27 @@ class ShardedInferenceServer:
                 # Per-chip policy at the local rows, like the l1 path:
                 # prox megakernel where a tile fits, else the XLA scan.
                 from dladmm_tpu.ops.pallas_unroll import unroll_tile_batch
+                from dladmm_tpu.ops.prox import kernel_exact
 
+                exact = prox_pair is not None and all(
+                    kernel_exact(f) for f in prox_pair
+                )
                 use_mega = (
-                    prox_pair is not None
+                    exact
                     and kernel in ("auto", "megakernel")
                     and unroll_tile_batch(m, n, d, Sl) is not None
                 )
                 if kernel == "megakernel" and not use_mega:
                     raise ValueError(
-                        f"no prox megakernel tile fits VMEM at the "
-                        f"per-chip rows {Sl} (bucket {S} / T={T}); use "
-                        "kernel='auto'"
+                        "prox megakernel unavailable at the per-chip "
+                        f"rows {Sl} (bucket {S} / T={T}): "
+                        + (
+                            "this prox is not kernel-exact on TPU "
+                            "(ops/prox.py note)"
+                            if prox_pair is not None and not exact
+                            else "no tile fits VMEM"
+                        )
+                        + "; use kernel='auto'"
                     )
                 if use_mega:
                     from dladmm_tpu.ops.pallas_unroll import (
