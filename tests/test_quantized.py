@@ -22,6 +22,7 @@ def _setup(m=32, n=64, K=5, S=16):
     return qp, qd, data
 
 
+@pytest.mark.slow
 def test_int8_megakernel_matches_scan_whole_batch():
     """Same quantization decisions + exact int32 dots + same fp32
     elementwise chain => the Pallas kernel reproduces the XLA scan to

@@ -45,6 +45,7 @@ def test_validation(server_and_data):
         server.solve(jnp.zeros((4, 21)))
 
 
+@pytest.mark.slow
 def test_bf16_server_close_to_fp32():
     import jax
     import jax.numpy as jnp
@@ -309,6 +310,7 @@ def test_int8_quantize_roundtrip():
     assert (err <= amax / 254 + 1e-7).all()
 
 
+@pytest.mark.slow
 def test_batching_server_aggregates_and_matches_direct():
     """BatchingServer: concurrent small requests are aggregated into
     shared device dispatches, and every client gets exactly the rows a
@@ -443,6 +445,7 @@ def _sharded_setup(m=20, n=40, K=4, S=64, d=None, general_b=False):
     return mesh, A, B, params, data
 
 
+@pytest.mark.slow
 def test_sharded_server_matches_single_device():
     """ShardedInferenceServer over a 4-device data mesh returns exactly
     what the single-chip InferenceServer returns, at bucket sizes and
