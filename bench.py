@@ -83,7 +83,7 @@ _HEALTH_CODE = (
 )
 
 
-def _relay_health_check(timeout_s: float = 90.0, budget_s: float = 420.0):
+def _relay_health_check(timeout_s: float = 150.0, budget_s: float = 420.0):
     # budget_s raised r5: two real relay wedges this round cleared in
     # ~5-6 min — a health budget that gives up at 300 s turns a
     # recoverable wedge into a NULL capture, while recovering at t=420
