@@ -118,6 +118,15 @@ def _zero1_dp_fields(bd, D):
         "zero1_optimizer_hbm_mb_per_step": round(opt_stream / D / 1e6, 1),
         "zero1_optimizer_hbm_mb_replicated": round(opt_stream / 1e6, 1),
         "zero1_moments_gb_per_chip": round(bd.opt_moments / D / 1e9, 3),
+        # Round 5: moment_dtype='int8_pallas' composes with zero1 (the
+        # fused sweep runs on each chip's (rows, 256) shard), stacking a
+        # further /4 on the moment bytes — flagship 480 MB replicated
+        # fp32 -> ~15 MB/chip at D=8 (parallel/memory.py charges the
+        # same; the ~2% block-scale overhead is inside the 1.02 factor
+        # there and omitted here).
+        "zero1_int8_fused_moments_gb_per_chip": round(
+            bd.opt_moments / D / 4 / 1e9, 4
+        ),
         "zero1_note": (
             "collective bytes unchanged (ring allreduce = RS+AG); "
             "clip_norm becomes the exact single-pass global clip"
