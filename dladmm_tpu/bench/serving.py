@@ -170,8 +170,20 @@ def main(argv=None) -> int:
         "flow end-to-end (pre-flight for the unattended measurement "
         "battery) — numbers are meaningless",
     )
+    ap.add_argument(
+        "--shape",
+        choices=["paper", "flagship"],
+        default="paper",
+        help="paper = A 250x500 K=15 (the reference benchmark; the "
+        "megakernel fast path applies); flagship = A 1000x2000 K=20 "
+        "(BASELINE.json:8 — over the megakernel's VMEM tile, so the "
+        "serving policy resolves to the per-layer/scan paths: the "
+        "large-model serving latency a production user sees)",
+    )
     args = ap.parse_args(argv)
     shape = {}
+    if args.shape == "flagship":
+        shape = dict(m=1000, n=2000, K=20, buckets=(1, 64, 256, 1024))
     if args.smoke:
         jax.config.update("jax_platforms", "cpu")
         shape = dict(m=32, n=64, K=4, buckets=(1, 8, 64))
