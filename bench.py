@@ -330,11 +330,22 @@ def main() -> int:
             if v:
                 best = (float(v), p)
         try:
-            with open(_SELF_CAPTURE) as f:
-                rec = json.load(f)
-            v = (rec.get("detail") or {}).get("straight_port_train_step_ms")
-            if v:
-                best = (float(v), _SELF_CAPTURE)
+            # The self-capture wins only if NEWER than the newest driver
+            # capture — mirroring the outage path's staleness guard: a
+            # driver re-measured port must not be shadowed by an older
+            # battery run's value.
+            newest_driver = max(
+                (os.path.getmtime(p) for p in glob.glob("BENCH_r*.json")),
+                default=0.0,
+            )
+            if os.path.getmtime(_SELF_CAPTURE) > newest_driver:
+                with open(_SELF_CAPTURE) as f:
+                    rec = json.load(f)
+                v = (rec.get("detail") or {}).get(
+                    "straight_port_train_step_ms"
+                )
+                if v:
+                    best = (float(v), _SELF_CAPTURE)
         except Exception:
             pass
         return best

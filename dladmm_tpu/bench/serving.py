@@ -30,7 +30,7 @@ def _cal_latency(fn, args, hi=256):
 
 def measure(m=250, n=500, K=15,
             buckets=(1, 8, 64, 256, 1024, 2048, 4096), kernel="auto",
-            dtype=None, prox=None):
+            dtype=None, prox=None, prox_rho=0.0):
     from dladmm_tpu.data.synthetic import make_batch, make_dictionary
     from dladmm_tpu.models.api import resolve_forward
     from dladmm_tpu.models.unroll import init_dladmm_params
@@ -50,10 +50,19 @@ def measure(m=250, n=500, K=15,
         # synthetic_nonneg preset's pairing.
         if quantized:
             raise ValueError("general prox rejects int8 (serve.py guard)")
-        from dladmm_tpu.ops.prox import get_prox, prox_l1
+        from dladmm_tpu.ops.prox import get_prox, is_l1, prox_l1
         from dladmm_tpu.ops.reference import make_cached_step
 
-        prox_step_fn = make_cached_step(get_prox(prox), prox_l1)
+        if is_l1(prox, "l1", prox_rho):
+            # Mirrors run.py's guard: elastic_net with rho=0 IS l1 — a
+            # row labeled "elastic_net" measuring plain l1 would be a
+            # mislabeled publication, not a measurement.
+            raise ValueError(
+                f"prox {prox!r} with rho={prox_rho} reduces to l1 — "
+                "pass --prox-rho > 0 (or pick a non-l1 prox)"
+            )
+        prox_x_fn = get_prox(prox, prox_rho)
+        prox_step_fn = make_cached_step(prox_x_fn, prox_l1)
     if quantized:  # serve.py's int8 serving mode (ops/quantized.py)
         from dladmm_tpu.ops.quantized import (
             dladmm_forward_int8,
@@ -109,13 +118,13 @@ def measure(m=250, n=500, K=15,
                 unroll_tile_batch,
             )
 
-            from dladmm_tpu.ops.prox import get_prox, kernel_exact, prox_l1
+            from dladmm_tpu.ops.prox import kernel_exact, prox_l1
 
             if (
-                kernel_exact(get_prox(prox))
+                kernel_exact(prox_x_fn)
                 and unroll_tile_batch(m, n, m, S) is not None
             ):
-                pm = make_unrolled_inference_prox(get_prox(prox), prox_l1)
+                pm = make_unrolled_inference_prox(prox_x_fn, prox_l1)
                 variants.append(
                     (
                         jax.jit(lambda b: pm(params, A, b)[:2]),
@@ -158,10 +167,18 @@ def main(argv=None) -> int:
     ap.add_argument(
         "--prox",
         default=None,
-        help="also measure the general-prox serving path (XLA-scan "
-        "forward with this prox_x baked into the layer step, prox_z=l1 "
-        "— the synthetic_nonneg pairing) next to each dtype's l1 rows "
-        "(fp32 only; bf16/int8 reject general prox like serve.py)",
+        help="also measure the general-prox serving path (XLA-scan AND "
+        "prox-megakernel forwards with this prox_x baked into the layer "
+        "step, prox_z=l1 — the synthetic_nonneg pairing) next to each "
+        "dtype's l1 rows (fp32 only; bf16/int8 reject general prox like "
+        "serve.py)",
+    )
+    ap.add_argument(
+        "--prox-rho",
+        type=float,
+        default=0.0,
+        help="elastic_net curvature for --prox=elastic_net (rho=0 "
+        "reduces to l1 and is rejected, mirroring run.py)",
     )
     ap.add_argument(
         "--smoke",
@@ -202,7 +219,7 @@ def main(argv=None) -> int:
             result["SMOKE_MODE"] = "tiny shapes — numbers meaningless"
         results.append(result)
     if args.prox:
-        result = measure(prox=args.prox, **shape)
+        result = measure(prox=args.prox, prox_rho=args.prox_rho, **shape)
         result["dtype"] = "float32"
         result["prox_x"] = args.prox
         if args.smoke:

@@ -103,6 +103,17 @@ class DLADMMSolver:
                     "megakernel (kernel='auto'/'megakernel') or the "
                     "XLA scan (kernel='reference')"
                 )
+            if self.kernel == "megakernel" and (training or need_trajectory):
+                # The prox megakernel is INFERENCE-only (no VJP, no
+                # trajectory variant) — an explicit selection for
+                # fit()/trajectory() must raise, not silently run the
+                # XLA scan (the same no-silent-downgrade rule as above).
+                raise ValueError(
+                    "kernel='megakernel' with a general prox covers "
+                    "solve() only (the prox megakernel has no backward/"
+                    "trajectory variant); use kernel='auto' for "
+                    "training and trajectories"
+                )
             if (
                 self.B is None
                 and not need_trajectory

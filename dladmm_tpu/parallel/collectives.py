@@ -705,13 +705,34 @@ def make_sharded_train_step(
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
-def _zero1_padded(total: int, D: int, fused: bool) -> int:
+def _zero1_block_align(optimizer) -> bool:
+    """True when the (non-fused) optimizer's flat state carries QTensor
+    leaves (moment_dtype='int8'), whose (nblocks, 256) codes require the
+    padded vector to be a multiple of D*BLOCK so blocks never straddle a
+    shard boundary. Probed with a tiny init so plain fp32/bf16 states
+    keep the round-3 D-multiple padding (pre-round-5 ZeRO-1 checkpoints
+    stay resumable — their template lengths are unchanged)."""
+    from dladmm_tpu.train.qmoments import BLOCK, QTensor
+
+    probe = optimizer.init(jnp.zeros((BLOCK,), jnp.float32))
+    return any(
+        isinstance(leaf, QTensor)
+        for leaf in jax.tree.leaves(
+            probe, is_leaf=lambda x: isinstance(x, QTensor)
+        )
+    )
+
+
+def _zero1_padded(
+    total: int, D: int, fused: bool, block_align: bool = False
+) -> int:
     """Flat-vector padding for the ZeRO-1 update.
 
-    Non-fused: multiple of D*BLOCK so each chip's slice is whole
-    256-blocks — the flat int8 QTensor codec's (nblocks, 256) codes and
-    (nblocks,) scales then slice along 'data' exactly (blocks never
-    straddle a shard boundary).
+    Non-fused: multiple of D (the round-3 contract; existing fp32/bf16
+    checkpoints keep their template length) — raised to D*BLOCK when the
+    state carries flat int8 QTensor codecs (_zero1_block_align), so the
+    (nblocks, 256) codes and (nblocks,) scales slice along 'data'
+    exactly.
 
     Fused (QAdamFusedPallas): each shard is viewed as (rows, BLOCK) for
     the one-HBM-pass kernel; rows must be a multiple of 128 (lane-packed
@@ -721,7 +742,8 @@ def _zero1_padded(total: int, D: int, fused: bool) -> int:
     from dladmm_tpu.train.qmoments import BLOCK
 
     if not fused:
-        return -(-total // (D * BLOCK)) * (D * BLOCK)
+        unit = D * BLOCK if block_align else D
+        return -(-total // unit) * unit
     per_shard_rows = -(-total // (BLOCK * D))
     rows = max(256, -(-per_shard_rows // 128) * 128)
     return D * rows * BLOCK
@@ -738,13 +760,18 @@ def _zero1_opt_specs(opt_state, padded: int, fused: bool):
     leading dim is the padded length (fp32/bf16 moments) or
     padded/BLOCK (flat int8 QTensor codes (nblocks, 256) and scales
     (nblocks,)); everything else — step counts, the (2,) SR PRNG key —
-    stays replicated (the old ndim==1 rule wrongly sharded the key)."""
+    stays replicated (the old ndim==1 rule wrongly sharded the key).
+    uint32 leaves are excluded outright: the SR PRNG key is (2,) uint32
+    and a toy model's padded//BLOCK can collide with 2, while no moment
+    leaf is ever uint32."""
     from dladmm_tpu.train.qmoments import BLOCK
 
     def spec(v):
         nd = getattr(v, "ndim", 0)
         if fused:
             return P(DATA_AXIS) if nd >= 2 else P()
+        if getattr(v, "dtype", None) == jnp.uint32:
+            return P()  # PRNG key material stays replicated
         if nd >= 1 and v.shape[0] in (padded, padded // BLOCK):
             return P(DATA_AXIS)
         return P()
@@ -777,7 +804,8 @@ def make_dp_zero1_state(params, optimizer, mesh, compute_dtype=None):
     flat, _ = ravel_pytree(params)
     D = mesh.shape[DATA_AXIS]
     fused = hasattr(optimizer, "fused_apply")
-    padded = _zero1_padded(flat.size, D, fused)
+    block_align = False if fused else _zero1_block_align(optimizer)
+    padded = _zero1_padded(flat.size, D, fused, block_align)
     if fused:
         template = jnp.zeros((padded // BLOCK, BLOCK), flat.dtype)
     else:
@@ -845,6 +873,19 @@ def make_dp_zero1_train_step(
 
     D = mesh.shape[DATA_AXIS]
     fused = hasattr(optimizer, "fused_apply")
+    block_align = False if fused else _zero1_block_align(optimizer)
+    if fused and getattr(optimizer, "clip_norm", None):
+        # The step owns the EXACT global clip (psum of per-shard partial
+        # norms, applied to g_shard below). A fused optimizer built with
+        # its own clip_norm would ADDITIONALLY clip by each chip's LOCAL
+        # shard norm — a different, wrong factor per chip — silently.
+        # fit_sharded rebuilds with clip_norm=None; raw-API callers must
+        # do the same (pass clip_norm to THIS function instead).
+        raise ValueError(
+            "ZeRO-1 owns the global-norm clip; build the fused "
+            "optimizer with clip_norm=None and pass clip_norm to "
+            "make_dp_zero1_train_step"
+        )
     rep = jax.tree.map(lambda _: P(), param_specs("replicated_w2"))
 
     def body(masters, loss_params, opt_state, A, b, x_star, e_star):
@@ -878,7 +919,7 @@ def make_dp_zero1_train_step(
         flat_g, _ = ravel_pytree(g)
         flat_p, unravel = ravel_pytree(masters)
         total = flat_p.size
-        padded = _zero1_padded(total, D, fused)
+        padded = _zero1_padded(total, D, fused, block_align)
         pad = padded - total
         if pad:
             flat_g = jnp.concatenate([flat_g, jnp.zeros(pad, flat_g.dtype)])
@@ -931,7 +972,9 @@ def make_dp_zero1_train_step(
         loss_params, b = _mixed_precision_inputs(state, batch, compute_dtype)
         total = sum(v.size for v in jax.tree.leaves(state.params))
         opt_specs = _zero1_opt_specs(
-            state.opt_state, _zero1_padded(total, D, fused), fused
+            state.opt_state,
+            _zero1_padded(total, D, fused, block_align),
+            fused,
         )
         new_params, new_opt, loss = jax.shard_map(
             body,

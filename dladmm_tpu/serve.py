@@ -885,16 +885,11 @@ def main(argv=None) -> int:
                 f"--dtype=int8 is l1/l1-only; config {args.config!r} "
                 f"trains prox {cfg.problem.prox_x}/{cfg.problem.prox_z}"
             )
-        if args.kernel == "pallas":
-            # The per-layer fused kernel is l1-only; the whole-unroll
-            # megakernel is prox-templated since round 5 (prox_pair
-            # below), so "auto"/"megakernel"/"reference" all apply.
-            ap.error(
-                f"--kernel={args.kernel} is l1/l1-only; general-prox "
-                "serving uses the prox-templated megakernel "
-                "(--kernel=auto or megakernel) or the XLA scan "
-                "(--kernel=reference)"
-            )
+        # Every --kernel choice (auto/megakernel/reference) is valid for
+        # general-prox serving since round 5: the whole-unroll megakernel
+        # is prox-templated (prox_pair below), and the l1-only per-layer
+        # "pallas" kernel is not a CLI choice at all (argparse rejects
+        # it before this code runs).
         step_fn = make_cached_step(*prox)
     if args.ckpt_dir:
         params = _load_ckpt_params(args.ckpt_dir, cfg, A, B)

@@ -1226,6 +1226,7 @@ def fit_sharded(
             "float32": 4.0,
             "bfloat16": 2.0,
             "bfloat16_sr": 2.0,
+            "bfloat16_sr_mu": 3.0,  # bf16 mu + fp32 nu
             "int8": 1.02,
         }[getattr(t, "moment_dtype", "float32").removesuffix("_pallas")],
     )

@@ -159,9 +159,14 @@ def test_zero1_qmoments_runs_and_shards(md):
     from jax.sharding import PartitionSpec as P
 
     total = sum(v.size for v in jax.tree.leaves(params))
-    from dladmm_tpu.parallel.collectives import _zero1_padded
+    from dladmm_tpu.parallel.collectives import (
+        _zero1_block_align,
+        _zero1_padded,
+    )
 
-    padded = _zero1_padded(total, 8, fused=False)
+    padded = _zero1_padded(
+        total, 8, fused=False, block_align=_zero1_block_align(opt)
+    )
     for leaf in jax.tree.leaves(state.opt_state):
         nd = getattr(leaf, "ndim", 0)
         if nd >= 1 and leaf.shape[0] in (padded, padded // 256):
@@ -169,6 +174,96 @@ def test_zero1_qmoments_runs_and_shards(md):
         elif nd >= 1:
             # e.g. the (2,) SR PRNG key — must stay replicated.
             assert leaf.sharding.spec == P(), (leaf.shape, leaf.sharding)
+
+
+def test_zero1_rejects_clip_bearing_fused_optimizer():
+    """ZeRO-1 owns the exact global clip; a fused optimizer built with
+    its own clip_norm would ADDITIONALLY clip by each chip's local
+    shard norm — rejected at build (round-5 review)."""
+    mesh = pmesh.make_mesh(data=8, model=1)
+    opt = QAdamFusedPallas(1e-3, moment_fmt="int8", clip_norm=1.0)
+    with pytest.raises(ValueError, match="clip_norm=None"):
+        make_dp_zero1_train_step(opt, mesh, clip_norm=1.0, donate=False)
+
+
+def test_zero1_opt_specs_never_shard_prng_keys():
+    """A toy model's padded//BLOCK can collide with the (2,) SR PRNG
+    key's leading dim; uint32 leaves must stay replicated regardless
+    (round-5 review)."""
+    from jax.sharding import PartitionSpec as P
+
+    from dladmm_tpu.parallel.collectives import _zero1_opt_specs
+
+    state = {
+        "mu": jnp.zeros((512,), jnp.bfloat16),
+        "key": jnp.zeros((2,), jnp.uint32),  # collides: 512 // 256 == 2
+        "count": jnp.zeros((), jnp.int32),
+    }
+    specs = _zero1_opt_specs(state, padded=512, fused=False)
+    assert specs["mu"] == P("data")
+    assert specs["key"] == P()
+    assert specs["count"] == P()
+
+
+def test_zero1_padding_preserves_plain_adam_template():
+    """Plain fp32/bf16 flat states keep the round-3 D-multiple padding
+    (pre-round-5 ZeRO-1 checkpoints stay resumable); only QTensor-
+    bearing states block-align to D*256 (round-5 review)."""
+    import optax
+
+    from dladmm_tpu.parallel.collectives import (
+        _zero1_block_align,
+        _zero1_padded,
+    )
+
+    assert not _zero1_block_align(optax.adam(1e-3))
+    assert not _zero1_block_align(adam_qmoments(1e-3, moment_dtype="bfloat16"))
+    assert _zero1_block_align(adam_qmoments(1e-3, moment_dtype="int8"))
+    assert _zero1_padded(1001, 8, fused=False, block_align=False) == 1008
+    assert _zero1_padded(1001, 8, fused=False, block_align=True) == 2048
+
+
+def test_fit_sharded_zero1_mixed_sr_moments_smoke():
+    """The round-5 mixed format through fit_sharded + zero1: exercises
+    the audit's moment_bytes entry for 'bfloat16_sr_mu' (a missing key
+    crashed the sharded path — round-5 review) and the fused kernel on
+    the 1/D shard."""
+    from dladmm_tpu.train.loop import fit_sharded
+    from dladmm_tpu.utils.config import (
+        Config,
+        ProblemConfig,
+        ShardingConfig,
+        TrainConfig,
+    )
+
+    cfg = Config(
+        name="z1mix",
+        problem=ProblemConfig(m=16, n=32, K=3),
+        train=TrainConfig(
+            batch=16, steps=4, eval_every=2, eval_batch=32, clip_norm=1.0,
+            moment_dtype="bfloat16_sr_mu_pallas",
+        ),
+        sharding=ShardingConfig(data_axis=4, zero1=True),
+    )
+    params, hist = fit_sharded(cfg)
+    assert np.isfinite(hist[-1]["nmse_db"])
+
+
+def test_solver_megakernel_general_prox_inference_only():
+    """kernel='megakernel' + a general prox covers solve() only; fit()
+    and trajectory() must raise instead of silently running the XLA
+    scan (round-5 review)."""
+    key = jax.random.PRNGKey(4)
+    from dladmm_tpu.models.solver import DLADMMSolver
+
+    A = make_dictionary(key, 16, 32)
+    solver = DLADMMSolver.create(
+        A, K=3, kernel="megakernel", prox_x="nonneg_l1"
+    )
+    with pytest.raises(ValueError, match="solve\\(\\) only"):
+        solver.fit(key, steps=1, batch=8)
+    with pytest.raises(ValueError, match="solve\\(\\) only"):
+        solver.trajectory(jnp.zeros((8, 16)))
 
 
 @pytest.mark.parametrize("md", ["int8", "int8_pallas", "bfloat16_sr_pallas"])

@@ -713,6 +713,8 @@ class TestServeCLI:
             )
             with pytest.raises(SystemExit):
                 main(base + ["--demo", "16", "--dtype=int8"])
+            # The l1-only per-layer kernel is not a CLI choice at all —
+            # argparse rejects it for any config.
             with pytest.raises(SystemExit):
                 main(base + ["--demo", "16", "--kernel=pallas"])
             # Explicit megakernel: the prox-templated kernel serves the
