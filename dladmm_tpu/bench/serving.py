@@ -115,15 +115,13 @@ def measure(m=250, n=500, K=15,
             # kernel='auto' now picks when a tile fits).
             from dladmm_tpu.ops.pallas_unroll import (
                 make_unrolled_inference_prox,
-                unroll_tile_batch,
+                prox_megakernel_available,
             )
+            from dladmm_tpu.ops.prox import prox_l1
 
-            from dladmm_tpu.ops.prox import kernel_exact, prox_l1
-
-            if (
-                kernel_exact(prox_x_fn)
-                and unroll_tile_batch(m, n, m, S) is not None
-            ):
+            if prox_megakernel_available(
+                (prox_x_fn, prox_l1), m, n, m, S
+            )[0]:
                 pm = make_unrolled_inference_prox(prox_x_fn, prox_l1)
                 variants.append(
                     (

@@ -125,28 +125,23 @@ class DLADMMSolver:
                 # tile fits VMEM.
                 from dladmm_tpu.ops.pallas_unroll import (
                     make_unrolled_inference_prox,
-                    unroll_tile_batch,
+                    prox_megakernel_available,
                 )
-                from dladmm_tpu.ops.prox import get_prox, kernel_exact
+                from dladmm_tpu.ops.prox import get_prox
 
                 px = get_prox(self.prox_x, self.prox_rho)
                 pz = get_prox(self.prox_z, self.prox_rho)
                 m, n = self.A.shape
-                exact = kernel_exact(px) and kernel_exact(pz)
-                if exact and unroll_tile_batch(m, n, m, S) is not None:
+                avail, why = prox_megakernel_available(
+                    (px, pz), m, n, m, S
+                )
+                if avail:
                     fwd = make_unrolled_inference_prox(px, pz)
                     return fwd, step, "prox-megakernel"
                 if self.kernel == "megakernel":
                     raise ValueError(
-                        "prox megakernel unavailable at batch "
-                        f"{S}: "
-                        + (
-                            "this prox is not kernel-exact on TPU "
-                            "(ops/prox.py group_l2 note)"
-                            if not exact
-                            else "no tile fits VMEM"
-                        )
-                        + "; use kernel='auto'"
+                        f"prox megakernel unavailable at batch {S}: "
+                        f"{why}; use kernel='auto'"
                     )
             return None, step, "xla-scan-general-prox"
         m, n = self.A.shape

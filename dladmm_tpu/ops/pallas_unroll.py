@@ -533,6 +533,29 @@ def make_unrolled_trajectory(
     return trajectory
 
 
+def prox_megakernel_available(prox_pair, m, n, d, S):
+    """(available, reason) for routing a general-prox INFERENCE forward
+    through the prox-templated megakernel at batch S — the single
+    decision shared by serve.py (both servers), DLADMMSolver, and
+    bench/serving.py (round-5 review: four hand-copies had started to
+    drift). reason explains the False case for caller error messages."""
+    from dladmm_tpu.ops.prox import kernel_exact
+
+    if prox_pair is None:
+        return False, (
+            "no prox callables (prox_pair not given; an opaque step_fn "
+            "cannot drive the kernel)"
+        )
+    if not all(kernel_exact(f) for f in prox_pair):
+        return False, (
+            "this prox is not kernel-exact on TPU (ops/prox.py "
+            "group_l2 note)"
+        )
+    if unroll_tile_batch(m, n, d, S) is None:
+        return False, "no tile fits VMEM"
+    return True, ""
+
+
 def make_unrolled_inference_prox(
     prox_x,
     prox_z,

@@ -223,28 +223,18 @@ class InferenceServer:
                 # where a tile fits VMEM (round 5 — l1-megakernel speed
                 # for the trained prox), else the XLA-scan forward with
                 # the prox pair baked into the layer step.
-                from dladmm_tpu.ops.pallas_unroll import unroll_tile_batch
-                from dladmm_tpu.ops.prox import kernel_exact
+                from dladmm_tpu.ops.pallas_unroll import (
+                    prox_megakernel_available,
+                )
 
-                exact = prox_pair is not None and all(
-                    kernel_exact(f) for f in prox_pair
+                avail, why = prox_megakernel_available(
+                    prox_pair, m, n, d, S
                 )
-                use_mega = (
-                    exact
-                    and kernel in ("auto", "megakernel")
-                    and unroll_tile_batch(m, n, d, S) is not None
-                )
+                use_mega = avail and kernel in ("auto", "megakernel")
                 if kernel == "megakernel" and not use_mega:
                     raise ValueError(
                         "prox megakernel unavailable at bucket "
-                        f"{S} (m={m}, n={n}): "
-                        + (
-                            "this prox is not kernel-exact on TPU "
-                            "(group_l2's row norm — ops/prox.py note)"
-                            if prox_pair is not None and not exact
-                            else "no tile fits VMEM"
-                        )
-                        + "; use kernel='auto'"
+                        f"{S} (m={m}, n={n}): {why}; use kernel='auto'"
                     )
                 if use_mega:
                     from dladmm_tpu.ops.pallas_unroll import (
@@ -504,28 +494,19 @@ class ShardedInferenceServer:
             elif B is None:
                 # Per-chip policy at the local rows, like the l1 path:
                 # prox megakernel where a tile fits, else the XLA scan.
-                from dladmm_tpu.ops.pallas_unroll import unroll_tile_batch
-                from dladmm_tpu.ops.prox import kernel_exact
+                from dladmm_tpu.ops.pallas_unroll import (
+                    prox_megakernel_available,
+                )
 
-                exact = prox_pair is not None and all(
-                    kernel_exact(f) for f in prox_pair
+                avail, why = prox_megakernel_available(
+                    prox_pair, m, n, d, Sl
                 )
-                use_mega = (
-                    exact
-                    and kernel in ("auto", "megakernel")
-                    and unroll_tile_batch(m, n, d, Sl) is not None
-                )
+                use_mega = avail and kernel in ("auto", "megakernel")
                 if kernel == "megakernel" and not use_mega:
                     raise ValueError(
                         "prox megakernel unavailable at the per-chip "
-                        f"rows {Sl} (bucket {S} / T={T}): "
-                        + (
-                            "this prox is not kernel-exact on TPU "
-                            "(ops/prox.py note)"
-                            if prox_pair is not None and not exact
-                            else "no tile fits VMEM"
-                        )
-                        + "; use kernel='auto'"
+                        f"rows {Sl} (bucket {S} / T={T}): {why}; use "
+                        "kernel='auto'"
                     )
                 if use_mega:
                     from dladmm_tpu.ops.pallas_unroll import (
