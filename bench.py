@@ -126,7 +126,10 @@ def _relay_health_check(timeout_s: float = 150.0, budget_s: float = 420.0):
             note = f"timeout after {timeout_s}s (attempt {i})"
         if time.monotonic() - t0 + timeout_s + 5.0 > budget_s:
             return False, note
-        time.sleep(5.0)
+        # 30 s between probes: the observed relay wedges clear after a
+        # few minutes of QUIET — rapid reconnect attempts may be what
+        # keeps a recovering relay wedged (r5 outage sessions).
+        time.sleep(30.0)
 
 
 def _chained_train_time(step, state0, iters=32):
