@@ -72,6 +72,27 @@ def test_prox_megakernel_matches_scan(prox_name):
         )
 
 
+def test_prox_megakernel_available_reasons():
+    """The consolidated routing decision (round-5 review: four
+    hand-copies had drifted): availability and the reason strings the
+    callers surface in their error messages."""
+    from dladmm_tpu.ops.pallas_unroll import prox_megakernel_available
+    from dladmm_tpu.ops.prox import get_prox
+
+    nn, l1 = get_prox("nonneg_l1"), get_prox("l1")
+    ok, why = prox_megakernel_available((nn, l1), 16, 32, 16, 8)
+    assert ok and why == ""
+    ok, why = prox_megakernel_available(None, 16, 32, 16, 8)
+    assert not ok and "prox_pair" in why
+    ok, why = prox_megakernel_available(
+        (get_prox("group_l2"), l1), 16, 32, 16, 8
+    )
+    assert not ok and "kernel-exact" in why
+    # The flagship shape exceeds the megakernel's VMEM tile.
+    ok, why = prox_megakernel_available((nn, l1), 1000, 2000, 1000, 64)
+    assert not ok and "VMEM" in why
+
+
 def test_megakernel_grad_parity():
     A, data, params = _setup(24, 48, 5, 16)
     fwd = make_unrolled_forward()
