@@ -3,7 +3,11 @@
 Metric: training layer-iterations/s/chip on the flagship MXU-saturation
 config (BASELINE.json:8 — A 1000x2000, batch 1024, K=20): one fully
 fused jitted training step (on-device forward + backprop through the
-unroll + Adam), counted as K x batch layer-iterations per step.
+unroll + Adam), counted as K x batch layer-iterations per step. Since
+round 5 the headline step uses the SHIPPED synthetic-preset optimizer —
+the fused one-HBM-pass int8-moment Adam sweep (train/qadam_pallas.py,
+seed-replicated quality parity in BASELINE.md); the r1–r4 fp32-moment
+step continues as the `fp32_moments_step_ms` detail series.
 
 Timing is device-chained (iterations data-dependent inside one jit,
 scalar-fetch sync) because the sandbox TPU's RPC relay makes naive
@@ -62,7 +66,7 @@ SOFT_BUDGET_S = 450.0
 PHASE_EST_S = {
     "paper_config": 70.0,
     "deep_supervised": 55.0,
-    "qadam_int8": 55.0,
+    "fp32_moments": 55.0,
     "straight_port": 95.0,
     "fused_adam": 65.0,
 }
@@ -289,13 +293,20 @@ def main() -> int:
     # ---- Phase 1 (required): flagship pair -> headline JSON ----------
     # Framework path = the fastest full-quality training step
     # (train/loop.py): mixed-precision manual-VJP FINAL-LAYER loss on
-    # the persistent bf16 copy, fp32-master Adam. (The synthetic presets
-    # default to deep supervision since r2 — that shipped-default step
-    # is measured below as deep_supervised_step_ms; the headline
-    # throughput metric stays the final-layer step for cross-round
-    # comparability.)
+    # the persistent bf16 copy, fp32 masters, and — since round 5 — the
+    # SHIPPED synthetic-preset optimizer: the fused one-HBM-pass
+    # int8-moment Adam sweep (train/qadam_pallas.py; quality parity
+    # with fp32 moments seed-replicated at both shapes, BASELINE.md).
+    # The r1–r4 fp32-moment headline step continues round-over-round as
+    # fp32_moments_step_ms below. (The synthetic presets also default
+    # to deep supervision since r2 — that loss variant is measured
+    # below as deep_supervised_step_ms; the headline throughput metric
+    # stays the final-layer step for cross-round comparability.)
+    from dladmm_tpu.train.qadam_pallas import QAdamFusedPallas
+
+    qopt = QAdamFusedPallas(1e-3, moment_fmt="int8")
     shipped = make_train_step_from_batch(
-        optimizer, A, vjp="manual", compute_dtype=bf, donate=False
+        qopt, A, vjp="manual", compute_dtype=bf, donate=False
     )
 
     def fast_step(state):
@@ -303,7 +314,7 @@ def main() -> int:
         return new_state
 
     t_fast = _chained_train_time(
-        fast_step, make_train_state(params, optimizer, bf)
+        fast_step, make_train_state(params, qopt, bf)
     )
 
     # Straight-port baseline: full fp32 matmuls + XLA autodiff (what a
@@ -378,6 +389,12 @@ def main() -> int:
     }
     detail = {
         "train_step_ms": round(t_fast * 1e3, 3),
+        "optimizer": "fused int8-moment Adam sweep (int8_pallas — "
+        "shipped synthetic-preset default since r5; fp32-parity "
+        "seed-replicated, BASELINE.md)",
+        "qadam_int8_step_ms_note": "the int8-fused step IS the "
+        "headline train_step_ms since r5 (was a secondary series in "
+        "r4); the fp32-moment step continues as fp32_moments_step_ms",
         "straight_port_train_step_ms": round(port_ms, 3),
         "straight_port_source": port_src,
         "device": str(jax.devices()[0]),
@@ -460,25 +477,24 @@ def main() -> int:
         )
         detail["fused_adam_step_ms"] = round(t_f * 1e3, 3)
 
-    def phase_qadam_int8():
-        # Round-4 fused one-HBM-pass optimizer sweep with blockwise-int8
-        # moments (train/qadam_pallas.py) — headline-comparable arm
-        # (final-layer loss, no clip). Full A/B: scripts/ab_moments.py.
-        from dladmm_tpu.train.qadam_pallas import QAdamFusedPallas
-
-        qopt = QAdamFusedPallas(1e-3, moment_fmt="int8")
-        qshipped = make_train_step_from_batch(
-            qopt, A, vjp="manual", compute_dtype=bf, donate=False
+    def phase_fp32_moments():
+        # Continuity series: the r1–r4 headline step — fp32 optax-Adam
+        # moments, otherwise identical to the headline path. Equals
+        # 'train_step_ms' in BENCH_r01–r04 (6.94–6.96 ms); kept so the
+        # round-over-round series survives the r5 headline flip to the
+        # shipped int8-fused optimizer. Full A/B: scripts/ab_moments.py.
+        fshipped = make_train_step_from_batch(
+            optimizer, A, vjp="manual", compute_dtype=bf, donate=False
         )
 
-        def q_step(state):
-            new_state, _ = qshipped(state, data)
+        def f_step(state):
+            new_state, _ = fshipped(state, data)
             return new_state
 
-        t_q = _chained_train_time(
-            q_step, make_train_state(params, qopt, bf)
+        t_f = _chained_train_time(
+            f_step, make_train_state(params, optimizer, bf)
         )
-        detail["qadam_int8_step_ms"] = round(t_q * 1e3, 3)
+        detail["fp32_moments_step_ms"] = round(t_f * 1e3, 3)
 
     def phase_paper_config():
         # The paper's own config (A 250x500, K=15) through the
@@ -557,7 +573,8 @@ def main() -> int:
         headline["vs_baseline"] = round(t_port / t_fast, 3)
 
     # Tracked round-over-round series first (paper_config, the shipped-
-    # default deep-supervised step, the round-4 qadam arm); then the
+    # default deep-supervised step, the fp32-moment continuity arm);
+    # then the
     # amortized straight-port re-measurement; the settled fused_adam
     # rejection re-measures only on the canary cadence.
     import glob as _glob
@@ -565,7 +582,7 @@ def main() -> int:
     round_no = len(_glob.glob("BENCH_r*.json")) + 1
     run_phase("paper_config", phase_paper_config)
     run_phase("deep_supervised", phase_deep_supervised)
-    run_phase("qadam_int8", phase_qadam_int8)
+    run_phase("fp32_moments", phase_fp32_moments)
     if prior_port is not None:
         run_phase("straight_port", phase_straight_port)
         if "straight_port" in skipped:

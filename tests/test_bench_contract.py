@@ -96,4 +96,9 @@ def test_smoke_mode_prints_headline_first_and_enriched_tail():
     tail = payloads[-1]["detail"]
     assert "deep_supervised_step_ms" in tail
     assert "paper_config_full_pallas_step_us" in tail
+    # r5 headline flip: the headline measures the shipped int8-fused
+    # optimizer step; the r1–r4 fp32-moment headline survives as a
+    # continuity series.
+    assert "fp32_moments_step_ms" in tail
+    assert "int8" in tail["optimizer"]
     assert tail["SMOKE_MODE"]
