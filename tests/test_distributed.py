@@ -774,6 +774,7 @@ def test_dp_zero1_audit_and_validation():
         )
 
 
+@pytest.mark.slow
 def test_fit_sharded_zero1_end_to_end_matches_replicated():
     """fit_sharded with zero1 reproduces the replicated-optimizer DP
     run exactly (same exact-clip semantics) at a tiny config."""

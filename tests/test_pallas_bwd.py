@@ -73,6 +73,7 @@ def test_pallas_bwd_matches_autodiff(shape, per_coordinate):
         )
 
 
+@pytest.mark.slow
 def test_pallas_bwd_direct_call_parity():
     """Calling unroll_bwd_pallas directly on a scan-produced trajectory
     matches the reverse-scan backward bit-for-bit semantics."""

@@ -250,6 +250,7 @@ def test_deep_supervision_trajectory_megakernel_grads():
         )
 
 
+@pytest.mark.slow
 def test_trajectory_forward_over_vmem_falls_back_to_xla():
     """make_unrolled_trajectory at a shape whose trajectory tile does
     NOT fit VMEM must fall back to the XLA-scan trajectory (same math)

@@ -93,6 +93,7 @@ def test_early_exit_layer_slicing(server_and_data):
         InferenceServer(params, A, max_batch=16, layers=0)
 
 
+@pytest.mark.slow
 def test_serve_general_B():
     """InferenceServer(B=...) serves general-constraint solvers: results
     match dladmm_forward with B exactly, including bucket padding and
@@ -219,6 +220,7 @@ def test_serve_prox_pair_megakernel_matches_scan():
         )
 
 
+@pytest.mark.slow
 def test_sharded_server_general_prox_matches_single_device():
     from dladmm_tpu.data.synthetic import make_batch, make_dictionary
     from dladmm_tpu.models.unroll import init_dladmm_params
@@ -249,6 +251,7 @@ def test_sharded_server_general_prox_matches_single_device():
     )
 
 
+@pytest.mark.slow
 def test_int8_server_quality_and_exactness():
     """dtype='int8' serving: per-row weight scales + per-sample dynamic
     activation quantization (ops/quantized.py). Pins (a) the quantized

@@ -51,6 +51,7 @@ def test_nmse_improves_with_depth(trained):
     assert curve[-1] < curve[0]
 
 
+@pytest.mark.slow
 def test_deep_supervision_runs():
     cfg = Config(
         name="ci_deep",
@@ -306,6 +307,7 @@ def test_delayed_clip_uses_previous_step_norm():
         _build_optimizer(t_bad)
 
 
+@pytest.mark.slow
 def test_fit_general_B_config_beats_ladmm():
     """The synthetic_general_b preset path end-to-end through fit():
     config-driven B construction (identity_B=False, d != m), general-B
@@ -371,6 +373,7 @@ def test_run_cli_rejects_bad_general_B_flags():
         run.main(["--config=synthetic_general_b", "--greedy"])
 
 
+@pytest.mark.slow
 def test_run_cli_elastic_net_requires_rho():
     """ADVICE r3: elastic_net with the default rho=0 IS l1 (is_l1()),
     so the prox flag would silently have no effect — run.py must
@@ -387,6 +390,7 @@ def test_run_cli_elastic_net_requires_rho():
     assert rc == 0
 
 
+@pytest.mark.slow
 def test_general_B_bf16_mixed_precision_trains():
     """General B composes with the persistent-bf16 mixed-precision path
     for both loss modes (final-layer and deep supervision) — the manual
