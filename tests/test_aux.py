@@ -229,7 +229,6 @@ def test_apply_platform_env(monkeypatch):
     assert jax.config.jax_platforms == "cpu"
 
 
-@pytest.mark.slow
 def test_package_import_initializes_no_backend():
     """Importing ANY module must not initialize a jax backend: the
     sandbox pins an axon TPU backend whose relay can be down for hours,

@@ -98,7 +98,40 @@ def test_smoke_mode_prints_headline_first_and_enriched_tail():
     assert "paper_config_full_pallas_step_us" in tail
     # r5 headline flip: the headline measures the shipped int8-fused
     # optimizer step; the r1–r4 fp32-moment headline survives as a
-    # continuity series.
+    # continuity series. The optimizer label is DERIVED from the object
+    # the headline actually timed (type name + moment_fmt), so these
+    # assertions pin the flip, not a hard-coded string; and the fused
+    # path must not have taken the fp32 fallback on a healthy host.
     assert "fp32_moments_step_ms" in tail
+    assert "QAdamFusedPallas" in tail["optimizer"]
     assert "int8" in tail["optimizer"]
+    assert "headline_fallback_error" not in tail
     assert tail["SMOKE_MODE"]
+
+
+@pytest.mark.slow
+def test_headline_falls_back_to_fp32_when_fused_optimizer_fails():
+    """The capture contract must survive a Pallas optimizer regression:
+    if the int8-fused headline step dies, the harness measures the
+    r1–r4 fp32-moment step instead, LABELS the headline as a fallback,
+    and still exits 0 with parseable JSON — never a bare traceback."""
+    env = dict(os.environ)
+    env["DLADMM_BENCH_PLATFORM"] = "cpu"
+    env["DLADMM_BENCH_SMOKE"] = "1"
+    env["DLADMM_BENCH_FORCE_QADAM_FAIL"] = "1"
+    out = subprocess.run(
+        [sys.executable, BENCH],
+        capture_output=True,
+        text=True,
+        timeout=540,
+        env=env,
+        cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    payloads = [
+        json.loads(l) for l in out.stdout.splitlines() if l.strip()
+    ]
+    assert payloads[0]["value"] > 0
+    tail = payloads[-1]["detail"]
+    assert "FALLBACK" in tail["optimizer"]
+    assert "DLADMM_BENCH_FORCE_QADAM_FAIL" in tail["headline_fallback_error"]

@@ -373,17 +373,23 @@ def test_run_cli_rejects_bad_general_B_flags():
         run.main(["--config=synthetic_general_b", "--greedy"])
 
 
-@pytest.mark.slow
 def test_run_cli_elastic_net_requires_rho():
     """ADVICE r3: elastic_net with the default rho=0 IS l1 (is_l1()),
     so the prox flag would silently have no effect — run.py must
-    reject it and accept an explicit --prox-rho."""
+    reject it. Cheap (no training) so it stays in the fast tier; the
+    accept-with-rho training half is the slow test below."""
     from dladmm_tpu import run
 
     with pytest.raises(SystemExit):
         run.main(["--config=smoke", "--prox-x=elastic_net"])
-    # With rho > 0 the config routes to the general-prox path (the guard
-    # passes and training runs the XLA scan).
+
+
+@pytest.mark.slow
+def test_run_cli_elastic_net_accepts_rho():
+    """With rho > 0 the config routes to the general-prox path (the
+    guard passes and training runs the XLA scan)."""
+    from dladmm_tpu import run
+
     rc = run.main(
         ["--config=smoke", "--prox-x=elastic_net", "--prox-rho=0.3"]
     )
